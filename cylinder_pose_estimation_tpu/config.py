@@ -1,0 +1,173 @@
+"""Static configuration for the TPU pipeline.
+
+The reference scatters its configuration as hardcoded constants at call sites
+(SURVEY.md §5 "Config / flag system"): cylinder radius 45
+(ref exp_gridDetection.m:39), patch 3 / error 0.3 (ref utils/fitSingleCylinder.m:12),
+kinematic config [321.1, 143.1, 110] (ref utils/getTAGVcyl.m:9), polynomial degree
+2 vs 1 (ref utils/util_cylinder.py:2035 vs utils/util_plane.py:2820), and dozens of
+kernel sizes/thresholds throughout the detection stages.  Here they are all
+centralized into frozen dataclasses that are *static* under jit: every field is
+a Python int/float/bool/str, the dataclasses are hashable, and they parametrize
+trace-time shapes (MAX_* capacities) and compile-time constants.
+
+Deliberate plane-vs-cylinder differences in the reference are encoded as two
+config subclasses, not code forks (SURVEY.md §7 "hard parts" (e)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectConfig:
+    """Shared grid-detection front-end configuration.
+
+    Field provenance is cited against the reference implementation so parity
+    can be audited; shapes (image size, capacities) are ours.
+    """
+
+    # --- static shapes -----------------------------------------------------
+    height: int = 480
+    width: int = 640
+    # Capacity of the fixed-size point/label arrays (ragged data in the
+    # reference becomes dense arrays + validity masks on TPU).
+    max_points: int = 512        # joint centroids / grid points per image
+    max_rows: int = 24           # row labels (reference uses dicts keyed row1..N)
+    max_cols: int = 24           # col labels
+    cc_iters: int = 96           # bounded connected-component label propagation
+
+    # --- preprocess / binarize (ref utils/util_cylinder.py:1769-1802) ------
+    blur_ksize: int = 5          # cv2.GaussianBlur (5,5), sigma=0 -> 1.1
+    ridge_sigma: float = 3.0     # hessian_matrix sigma (ref :1796)
+    sauvola_window: int = 15     # ref :1740
+    sauvola_k: float = 0.5
+    sauvola_r: float = 128.0
+
+    # --- joints (ref utils/util_cylinder.py:1805-1827) ---------------------
+    line_kernel_len: int = 20    # 20x1 / 1x20 rect opening kernels
+
+    # --- centroid/center seed (ref utils/util_cylinder.py:1902-1941) -------
+    center_patch_half: int = 5   # 11x11 brightness patch around centroid
+
+    # --- saturation masking (ref utils/util_cylinder.py:1944-2007) ---------
+    sat_blur_ksize: int = 19
+    sat_threshold: float = 240.0
+
+    # --- line bridging (ref utils/util_cylinder.py:78-237) -----------------
+    bridge_repeats: int = 1      # expands_line_roi(mask, 1, ...) ref :2022
+    endpoint_probe_len: int = 9  # our endpoint detector's directional probe
+    n_angle_bins: int = 1        # per-orientation dilation bins (1 = global)
+
+    # --- polynomial fitting (ref utils/util_cylinder.py:454-550) -----------
+    poly_degree: int = 2         # cylinder path deg 2 (ref :2035)
+    domain_margin: float = 50.0  # domain extended +-50 px (ref :497-499)
+    newton_iters: int = 12       # our intersection solver (ref scipy root :1074)
+    intersection_tol: float = 1e-3  # domain acceptance tol (ref :1095-1100)
+
+    # --- indexing (ref utils/util_cylinder.py:1350-1571) -------------------
+    index_blur_ksize: int = 7    # Gaussian (7,7) before brightness scan
+    patch_div: float = 5.0       # half-size = circle_radius0/5 (ref :1377)
+    patch_half_min: int = 3      # min half-size (ref :1379)
+
+    # --- dtype ---------------------------------------------------------------
+    # image compute dtype ("float32" or "bfloat16" for the filter front-end)
+    image_dtype: str = "float32"
+
+    @property
+    def mode(self) -> str:
+        raise NotImplementedError
+
+    @property
+    def image_shape(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+
+@dataclasses.dataclass(frozen=True)
+class CylinderDetectConfig(DetectConfig):
+    """Cylinder-surface grid detection (ref python_grid_detection_cylinder.py).
+
+    Differences vs the plane path (SURVEY.md §2a): blob-based ROI with CLAHE
+    clipLimit 4.5 (ref utils/util_cylinder.py:1830-1899), radius-adaptive
+    bridge kernel 91+circle_radius (ref :2022-2023), poly degree 2, drop first
+    row + last col (ref :1211-1269), point id = (col_idx, row_idx) (ref :1497),
+    negative col labels dropped (ref :1657-1669).
+    """
+
+    poly_degree: int = 2
+    clahe_clip: float = 4.5          # ref :1845 clipLimit
+    clahe_tiles: int = 4             # tileGridSize (4,4)
+    bridge_kernel_base: int = 91     # kernel = 91 + circle_radius0 (ref :2022)
+    bridge_min_len: float = 5.0      # contour size gates (ref :169)
+    bridge_max_len: float = 200.0
+    drop_first_row: bool = True      # remove_label (ref :1211-1269)
+    drop_last_col: bool = True
+    drop_negative_cols: bool = True  # remove_minus_labels (ref :1657-1669)
+    id_row_major: bool = False       # id = (col_idx, row_idx) (ref :1497)
+    roi_blob_expand: int = 4         # blob radius +4 px (ref :1877)
+
+    @property
+    def mode(self) -> str:
+        return "cylinder"
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneDetectConfig(DetectConfig):
+    """Planar calibration-target grid detection (ref python_grid_detection_plane.py).
+
+    Differences: convex-hull ROI from binary threshold 127 with 5 px expansion
+    (ref utils/util_plane.py:2590-2689), fixed bridge kernel 201
+    (ref :2807-2808), poly degree 1 (ref :2820-2823), id = (row_idx, col_idx)
+    (ref :1398,1420) -- the indexing asymmetry SURVEY.md §2a flags.
+    """
+
+    poly_degree: int = 1
+    roi_threshold: float = 127.0     # ref get_convex_hull binary threshold
+    roi_expand: int = 5              # hull dilation (ref python_grid_detection_plane.py:95)
+    bridge_kernel_base: int = 201    # fixed kernel (ref utils/util_plane.py:2807)
+    bridge_min_len: float = 8.0      # ref utils/util_plane.py:140
+    bridge_max_len: float = 700.0
+    drop_first_row: bool = False
+    drop_last_col: bool = False
+    drop_negative_cols: bool = False
+    id_row_major: bool = True        # id = (row_idx, col_idx)
+
+    @property
+    def mode(self) -> str:
+        return "plane"
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Stereo correspondence + cylinder fitting (ref utils/fitSingleCylinder.m)."""
+
+    cyl_radius: float = 45.0        # ref exp_gridDetection.m:39
+    patch_size: int = 3             # chooseIdx patch (ref fitSingleCylinder.m:12)
+    error_threshold: float = 0.3    # mean patch reprojection error gate
+    grid_extent: int = 32           # dense grid-index raster (static); covers
+                                    # indices in [-grid_extent/2, grid_extent/2)
+    knn_k: int = 20                 # estCurvatures kNN (ref utils/estCurvatures.m:6)
+    lm_iters: int = 60              # LM refinement steps (replaces fminsearch,
+                                    # ref utils/fitCylinderWPts3.m:33-38)
+    lm_lambda0: float = 1e-3
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class KinematicsConfig:
+    """Pan/tilt AGV->cylinder forward kinematics (ref utils/getTAGVcyl.m:8-38)."""
+
+    l1: float = 321.1   # cylinder origin -> tilt joint
+    l2: float = 143.1   # AGV origin -> tilt joint at tilt 0
+    h: float = 110.0    # tilt joint -> cylinder origin height
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """Multi-frame camera<->AGV registration (ref utils/fitCylinderWPts3sAngs.m)."""
+
+    cyl_radius: float = 45.0
+    lm_iters: int = 80
+    lm_lambda0: float = 1e-3
+    kinematics: KinematicsConfig = dataclasses.field(default_factory=KinematicsConfig)

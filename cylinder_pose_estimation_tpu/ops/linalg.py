@@ -1,0 +1,94 @@
+"""Small closed-form linear algebra used across the geometry chain.
+
+The reference leans on MATLAB built-ins (pca, eig, cov, backslash) over tiny
+matrices (ref utils/fitCylinderWPts3.m:7, utils/fitplane.m:12-15,
+utils/estCurvatures.m:14-37).  On TPU these become closed-form 2x2 eigs and
+batched 3x3 ``jnp.linalg.eigh`` over masked point sets -- everything vmaps.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def masked_mean(pts: jnp.ndarray, valid: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
+    """Mean of (..., N, D) points under a (..., N) mask."""
+    w = valid.astype(pts.dtype)[..., None]
+    n = jnp.sum(w, axis=axis)
+    return jnp.sum(pts * w, axis=axis) / jnp.maximum(n, 1.0)
+
+
+def masked_cov(pts: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Sample covariance (divisor n-1, matching MATLAB cov/pca) of masked points.
+
+    pts: (..., N, D), valid: (..., N) -> (..., D, D).
+    """
+    w = valid.astype(pts.dtype)[..., None]
+    n = jnp.sum(w, axis=-2, keepdims=True)
+    mean = jnp.sum(pts * w, axis=-2, keepdims=True) / jnp.maximum(n, 1.0)
+    d = (pts - mean) * w
+    cov = jnp.swapaxes(d, -1, -2) @ d
+    return cov / jnp.maximum(n[..., 0, :, None] - 1.0, 1.0)
+
+
+def pca_components(pts: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Principal axes of masked (..., N, 3) points, descending variance.
+
+    Returns (components (..., 3, 3) with columns = axes, variances (..., 3)),
+    matching MATLAB ``pca`` column ordering (ref utils/fitCylinderWPts3.m:7:
+    coeff(:, 3) is the least-variance direction).
+    """
+    cov = masked_cov(pts, valid)
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    order = jnp.flip(jnp.arange(pts.shape[-1]))
+    return evecs[..., order], evals[..., order]
+
+
+def eigh2x2(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form eigendecomposition of symmetric [[a, b], [b, c]].
+
+    Returns (eigenvalues (..., 2) ascending, eigenvectors (..., 2, 2) with
+    columns matching the eigenvalues).  Used for Hessian ridge eigenvalues
+    (replacing skimage hessian_matrix_eigvals, ref utils/util_cylinder.py:1734)
+    and the shape-operator eig in curvature estimation
+    (ref utils/estCurvatures.m:14).
+    """
+    half_tr = 0.5 * (a + c)
+    half_diff = 0.5 * (a - c)
+    root = jnp.sqrt(half_diff * half_diff + b * b)
+    lo = half_tr - root
+    hi = half_tr + root
+    # Eigenvector for `hi`: (b, hi - a) or (hi - c, b); pick the better-conditioned.
+    v1 = jnp.stack([b, hi - a], axis=-1)
+    v2 = jnp.stack([hi - c, b], axis=-1)
+    use_v1 = jnp.abs(hi - a)[..., None] > jnp.abs(hi - c)[..., None]
+    v_hi = jnp.where(use_v1, v1, v2)
+    norm = jnp.linalg.norm(v_hi, axis=-1, keepdims=True)
+    # Degenerate (b ~ 0, a ~ c): fall back to identity directions.
+    v_hi = jnp.where(norm > 1e-20, v_hi / (norm + _EPS), jnp.stack(
+        [jnp.ones_like(b), jnp.zeros_like(b)], axis=-1))
+    v_lo = jnp.stack([-v_hi[..., 1], v_hi[..., 0]], axis=-1)
+    evals = jnp.stack([lo, hi], axis=-1)
+    evecs = jnp.stack([v_lo, v_hi], axis=-1)  # columns
+    return evals, evecs
+
+
+def solve_normal_equations(
+    a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray, ridge: float = 1e-9
+) -> jnp.ndarray:
+    """Weighted least squares via normal equations: argmin ||w (A x - b)||.
+
+    a: (..., N, P), b: (..., N), w: (..., N) weights (0/1 masks typically).
+    Small P (<= 6 here) makes the (P, P) solve cheap and batched-friendly;
+    ridge regularization keeps masked-out / degenerate systems finite.
+    """
+    aw = a * w[..., None]
+    ata = jnp.swapaxes(aw, -1, -2) @ aw
+    atb = jnp.swapaxes(aw, -1, -2) @ (b * w)[..., None]
+    p = a.shape[-1]
+    ata = ata + ridge * jnp.eye(p, dtype=a.dtype)
+    return jnp.linalg.solve(ata, atb)[..., 0]

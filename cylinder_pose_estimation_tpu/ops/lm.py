@@ -1,0 +1,84 @@
+"""Generic fixed-iteration Levenberg-Marquardt for small parameter vectors.
+
+Replaces the reference's derivative-free Nelder-Mead (``fminsearch`` with
+TolFun/TolX 1e-5, <=1e5 evals: ref utils/fitCylinderWPts3.m:33-38,
+utils/fitCylinderWPts3sAngs.m:77) with a damped Gauss-Newton loop:
+
+  * the iteration count is STATIC (lax.fori_loop) so the solver jits once and
+    vmaps over batches of problems -- exactly what Nelder-Mead cannot do;
+  * residuals carry a weight vector, so masked (invalid) points contribute
+    zero without dynamic shapes;
+  * the 6-dof problems here are rank-deficient by construction (a cylinder's
+    origin slides along its axis, its direction norm is free:
+    ref utils/fitCylinderWPts3.m dist() is invariant to both) -- the LM
+    damping term is what makes the normal equations solvable, standard LM.
+
+Jacobians come from jacfwd over the residual vector: P <= 6 makes forward mode
+optimal and keeps everything one fused XLA computation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LMResult(NamedTuple):
+    params: jnp.ndarray   # (P,) final parameters
+    cost0: jnp.ndarray    # () initial weighted SSE
+    cost: jnp.ndarray     # () final weighted SSE
+    n_accepted: jnp.ndarray  # () int32 accepted steps
+
+
+def levenberg_marquardt(
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    params0: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    iters: int = 60,
+    lambda0: float = 1e-3,
+    lambda_up: float = 2.0,
+    lambda_down: float = 3.0,
+) -> LMResult:
+    """Minimize sum(w * r(p)^2) over p with a fixed number of LM steps.
+
+    residual_fn maps (P,) -> (N,).  Rejected steps raise lambda and retry next
+    iteration; accepted steps lower it.  All state lives in a fori_loop carry,
+    so the whole solve is one jittable, vmappable expression.
+    """
+    params0 = jnp.asarray(params0)
+    dtype = params0.dtype
+    r0 = residual_fn(params0)
+    w = jnp.ones_like(r0) if weights is None else weights.astype(dtype)
+
+    def cost_of(r):
+        return jnp.sum(w * r * r)
+
+    cost0 = cost_of(r0)
+    p_dim = params0.shape[0]
+    eye = jnp.eye(p_dim, dtype=dtype)
+
+    def step(_, carry):
+        p, cost, lam, n_acc = carry
+        r = residual_fn(p)
+        j = jax.jacfwd(residual_fn)(p)  # (N, P)
+        jw = j * w[:, None]
+        jtj = j.T @ jw
+        jtr = jw.T @ r
+        # Marquardt scaling: damp by lam * diag(JtJ) (+ floor for zero columns).
+        damp = lam * (jnp.diagonal(jtj) + 1e-12)
+        delta = jnp.linalg.solve(jtj + damp * eye, -jtr)
+        p_new = p + delta
+        cost_new = cost_of(residual_fn(p_new))
+        accept = (cost_new < cost) & jnp.all(jnp.isfinite(p_new))
+        p = jnp.where(accept, p_new, p)
+        cost = jnp.where(accept, cost_new, cost)
+        lam = jnp.where(accept, lam / lambda_down, lam * lambda_up)
+        lam = jnp.clip(lam, 1e-12, 1e12)
+        n_acc = n_acc + accept.astype(jnp.int32)
+        return (p, cost, lam, n_acc)
+
+    init = (params0, cost0, jnp.asarray(lambda0, dtype), jnp.asarray(0, jnp.int32))
+    p, cost, _, n_acc = jax.lax.fori_loop(0, iters, step, init)
+    return LMResult(params=p, cost0=cost0, cost=cost, n_accepted=n_acc)

@@ -1,0 +1,91 @@
+"""Multi-frame camera<->AGV registration test (ref utils/fitCylinderWPts3sAngs.m).
+
+Ground truth construction: pick a T_Cam_AGV, compute each frame's cylinder
+pose from the kinematics, synthesize surface points on each predicted
+cylinder, and verify the solver recovers the transform.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cylinder_pose_estimation_tpu.config import RegistrationConfig
+from cylinder_pose_estimation_tpu.geometry import transforms as tf
+from cylinder_pose_estimation_tpu.geometry.kinematics import t_agv_cyl
+from cylinder_pose_estimation_tpu.geometry.registration import (
+    fit_cylinders_with_angles,
+    predicted_cylinder_poses,
+    registration_residuals,
+)
+
+
+def _make_frames(t_cam_agv, angles, radius=45.0, n_rows=8, n_cols=9, capacity=128, seed=0):
+    rng = np.random.default_rng(seed)
+    t_agv_cyls = np.asarray(t_agv_cyl(angles[:, 0], angles[:, 1]))
+    t_cam_cyls = np.asarray(t_cam_agv) @ t_agv_cyls
+    frames = []
+    valids = []
+    for f in range(len(angles)):
+        org = t_cam_cyls[f, :3, 3]
+        x, y, z = t_cam_cyls[f, :3, 0], t_cam_cyls[f, :3, 1], t_cam_cyls[f, :3, 2]
+        hs = (np.arange(n_rows) - n_rows // 2) * 13.0
+        # camera-facing half: thetas around the direction closest to -z_cam
+        phi = np.arctan2(-x[2], -z[2])
+        thetas = phi + np.linspace(-0.7, 0.7, n_cols)
+        pts = []
+        for hh in hs:
+            for th in thetas:
+                pts.append(org + hh * y + radius * (np.cos(th) * z + np.sin(th) * x))
+        pts = np.asarray(pts, np.float32)
+        n = pts.shape[0]
+        buf = np.zeros((capacity, 3), np.float32)
+        buf[:n] = pts
+        val = np.zeros(capacity, bool)
+        val[:n] = True
+        frames.append(buf)
+        valids.append(val)
+    return jnp.asarray(np.stack(frames)), jnp.asarray(np.stack(valids))
+
+
+def test_registration_recovers_transform():
+    gt_pose = jnp.asarray([0.2, -1.6, 0.15, 120.0, -40.0, 900.0], jnp.float32)
+    t_gt = tf.vec_to_transform(gt_pose)
+    angles = jnp.asarray(
+        [[-0.3, 0.1], [0.0, 0.0], [0.35, -0.12], [0.6, 0.2]], jnp.float32
+    )
+    pts3s, valid = _make_frames(t_gt, np.asarray(angles))
+    res = fit_cylinders_with_angles(pts3s, valid, angles)
+    assert float(res.fval) < 1e-3
+    assert float(res.fval) <= float(res.fval0) + 1e-6
+    # Compare predicted cylinder axes under both transforms.
+    pred_gt = np.asarray(predicted_cylinder_poses(t_gt, angles))
+    pred = np.asarray(predicted_cylinder_poses(res.t_cam_agv, angles))
+    for f in range(angles.shape[0]):
+        # axis direction
+        c = abs(float(pred[f, :3, 1] @ pred_gt[f, :3, 1]))
+        assert np.degrees(np.arccos(min(c, 1.0))) < 0.1
+        # origin within mm of the true axis (origin may slide along axis)
+        rel = pred[f, :3, 3] - pred_gt[f, :3, 3]
+        perp = rel - (rel @ pred_gt[f, :3, 1]) * pred_gt[f, :3, 1]
+        assert np.linalg.norm(perp) < 0.5
+
+
+def test_residuals_zero_at_ground_truth():
+    gt_pose = jnp.asarray([0.0, -1.5, 0.1, 100.0, -30.0, 850.0], jnp.float32)
+    t_gt = tf.vec_to_transform(gt_pose)
+    angles = jnp.asarray([[-0.2, 0.05], [0.25, -0.1]], jnp.float32)
+    pts3s, valid = _make_frames(t_gt, np.asarray(angles), seed=3)
+    t_agv_cyls = t_agv_cyl(angles[:, 0], angles[:, 1])
+    r = registration_residuals(gt_pose, t_agv_cyls, pts3s, valid, 45.0)
+    assert float(jnp.max(jnp.abs(r))) < 1e-3
+
+
+def test_registration_with_noise():
+    gt_pose = jnp.asarray([0.1, -1.4, 0.05, 80.0, -20.0, 800.0], jnp.float32)
+    t_gt = tf.vec_to_transform(gt_pose)
+    angles = jnp.asarray([[-0.3, 0.0], [0.1, 0.1], [0.5, -0.15]], jnp.float32)
+    pts3s, valid = _make_frames(t_gt, np.asarray(angles), seed=4)
+    rng = np.random.default_rng(7)
+    noisy = pts3s + jnp.asarray(rng.normal(0, 0.3, pts3s.shape), jnp.float32)
+    res = fit_cylinders_with_angles(noisy, valid, angles)
+    # Residual floor set by the 0.3 mm point noise.
+    assert float(res.fval) < 3 * 0.3**2 * angles.shape[0]
