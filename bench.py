@@ -1,0 +1,88 @@
+"""Benchmark: end-to-end grid-detect -> cylinder-pose throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 1000 frames/s (BASELINE.md north star, TPU v5e single chip);
+the reference itself publishes no numbers (its per-stage comment "time 17.4"
+suggests tens of ms per stage on CPU, i.e. low-double-digit frames/s at best).
+
+The measured unit of work is the reference's full per-frame pipeline
+(ref exp_gridDetection.m:55-81): TWO 480x640 grid detections (left+right view,
+each: Gaussian -> Hessian ridge -> Sauvola -> morphology -> connected
+components -> bridging -> polyfit -> intersections -> indexing), stereo
+patch-consensus correspondence, batched DLT triangulation, curvature-seeded
+LM cylinder fit with priors.
+
+Measurement protocol (honest under the axon tunnel):
+  * inputs are staged on-device once (input pipelines are not the metric and
+    the tunnel's host->device path is an environment artifact);
+  * every timed call perturbs the images with a fresh on-device scalar so no
+    execution/caching shortcut can fire (identical-buffer re-execution was
+    observed to short-circuit);
+  * timing is synced by materializing outputs on the host.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig, FitConfig
+    from cylinder_pose_estimation_tpu.models.pipeline import estimate_poses_batch
+
+    from __graft_entry__ import _example_pair
+
+    height, width = 480, 640
+    batch = 16
+    stereo, (i1, i2) = _example_pair(height, width, n_frames=4)
+    reps = batch // 4
+    i1 = np.tile(i1, (reps, 1, 1))
+    i2 = np.tile(i2, (reps, 1, 1))
+    d1 = jax.device_put(jnp.asarray(i1))
+    d2 = jax.device_put(jnp.asarray(i2))
+    jax.block_until_ready((d1, d2))
+
+    detect_cfg = CylinderDetectConfig(height=height, width=width)
+    fit_cfg = FitConfig()
+
+    @jax.jit
+    def step(a, b, k):
+        res = estimate_poses_batch(a + k, b + k, stereo, detect_cfg, fit_cfg)
+        return res.fit.params, res.fit.mean_reproj_error
+
+    # Warmup / compile.
+    out = step(d1, d2, jnp.float32(0.0))
+    np.asarray(out[0])
+
+    n_iters = 3
+    ks = [jax.device_put(jnp.float32(1e-4 * (i + 1))) for i in range(n_iters)]
+    jax.block_until_ready(ks)
+    t0 = time.perf_counter()
+    outs = [step(d1, d2, k) for k in ks]
+    for o in outs:
+        np.asarray(o[0])
+    dt = time.perf_counter() - t0
+
+    fps = (batch * n_iters) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "frames_per_sec_detect_to_pose_480x640",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 1000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,10 @@ class DetectConfig:
     max_points: int = 512        # joint centroids / grid points per image
     max_rows: int = 24           # row labels (reference uses dicts keyed row1..N)
     max_cols: int = 24           # col labels
-    cc_iters: int = 96           # bounded connected-component label propagation
+    cc_iters: int = 16           # bounded connected-component label rounds;
+                                 # each round = 3x3 pool + full row & column
+                                 # segmented scans, so convergence needs
+                                 # O(#direction changes) rounds, not O(diameter)
 
     # --- preprocess / binarize (ref utils/util_cylinder.py:1769-1802) ------
     blur_ksize: int = 5          # cv2.GaussianBlur (5,5), sigma=0 -> 1.1
@@ -59,6 +62,9 @@ class DetectConfig:
     bridge_repeats: int = 1      # expands_line_roi(mask, 1, ...) ref :2022
     endpoint_probe_len: int = 9  # our endpoint detector's directional probe
     n_angle_bins: int = 1        # per-orientation dilation bins (1 = global)
+    bridge_skip_long: bool = True  # don't expand near-full-length segments
+    bridge_long_frac: float = 0.8  # "long" = extent > frac * max extent
+                                   # (ref utils/util_cylinder.py:169 gate)
 
     # --- polynomial fitting (ref utils/util_cylinder.py:454-550) -----------
     poly_degree: int = 2         # cylinder path deg 2 (ref :2035)
@@ -132,6 +138,8 @@ class PlaneDetectConfig(DetectConfig):
     drop_last_col: bool = False
     drop_negative_cols: bool = False
     id_row_major: bool = True        # id = (row_idx, col_idx)
+    bridge_skip_long: bool = False   # plane path always expands
+                                     # (ref utils/util_plane.py:78-137 diff)
 
     @property
     def mode(self) -> str:

@@ -1,0 +1,101 @@
+"""End-to-end pipelines: stereo images in, cylinder pose out; batched frames.
+
+The TPU equivalent of the reference's two drivers:
+  * exp_gridDetection.m's per-frame loop (preprocess -> detect both views ->
+    fitSingleCylinder; ref exp_gridDetection.m:55-81) becomes
+    ``estimate_pose_stereo`` -- one jitted program per stereo pair -- and
+    ``estimate_poses_batch`` -- the same vmapped over a frame axis, so
+    thousands of frames run as one XLA computation instead of a serial
+    Python/MATLAB loop (SURVEY.md §2 concurrency note).
+  * the closing multi-frame AGV registration (ref exp_gridDetection.m:87)
+    becomes ``register_sequence``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cylinder_pose_estimation_tpu.config import (
+    DetectConfig,
+    FitConfig,
+    RegistrationConfig,
+)
+from cylinder_pose_estimation_tpu.geometry.registration import (
+    fit_cylinders_with_angles,
+)
+from cylinder_pose_estimation_tpu.models.detector import detect_grid
+from cylinder_pose_estimation_tpu.models.pose import fit_single_cylinder
+from cylinder_pose_estimation_tpu.types import (
+    CylinderFitResult,
+    DetectResult,
+    RegistrationResult,
+    StereoParams,
+)
+
+
+class StereoPoseResult(NamedTuple):
+    detect1: DetectResult
+    detect2: DetectResult
+    fit: CylinderFitResult
+
+
+def estimate_pose_stereo(
+    image1: jnp.ndarray,
+    image2: jnp.ndarray,
+    stereo: StereoParams,
+    detect_cfg: DetectConfig,
+    fit_cfg: FitConfig = FitConfig(),
+) -> StereoPoseResult:
+    """detect both views -> correspond -> triangulate -> fit (one frame).
+
+    Mirrors ref exp_gridDetection.m:58-81 / utils/fitSingleCylinder.m without
+    the MATLAB<->Python bridge: one traced program, no host round-trips.
+    """
+    d1 = detect_grid(image1, detect_cfg)
+    d2 = detect_grid(image2, detect_cfg)
+    fit = fit_single_cylinder(d1.grid, d2.grid, stereo, fit_cfg)
+    return StereoPoseResult(detect1=d1, detect2=d2, fit=fit)
+
+
+def estimate_poses_batch(
+    images1: jnp.ndarray,
+    images2: jnp.ndarray,
+    stereo: StereoParams,
+    detect_cfg: DetectConfig,
+    fit_cfg: FitConfig = FitConfig(),
+) -> StereoPoseResult:
+    """vmap of estimate_pose_stereo over a leading frame axis."""
+    return jax.vmap(
+        lambda a, b: estimate_pose_stereo(a, b, stereo, detect_cfg, fit_cfg)
+    )(images1, images2)
+
+
+def register_sequence(
+    batch: StereoPoseResult,
+    angles: jnp.ndarray,
+    reg_cfg: RegistrationConfig = RegistrationConfig(),
+) -> RegistrationResult:
+    """Multi-frame camera<->AGV registration from a batched pose result
+    (ref exp_gridDetection.m:87 fitCylinderWPts3sAngs)."""
+    return fit_cylinders_with_angles(
+        batch.fit.points3, batch.fit.points_valid, angles, reg_cfg
+    )
+
+
+def full_experiment(
+    images1: jnp.ndarray,
+    images2: jnp.ndarray,
+    angles: jnp.ndarray,
+    stereo: StereoParams,
+    detect_cfg: DetectConfig,
+    fit_cfg: FitConfig = FitConfig(),
+    reg_cfg: RegistrationConfig = RegistrationConfig(),
+) -> Tuple[StereoPoseResult, RegistrationResult]:
+    """The whole exp_gridDetection.m equivalent as one jittable function:
+    F stereo pairs + pan/tilt angles -> per-frame poses + T_Cam_AGV."""
+    batch = estimate_poses_batch(images1, images2, stereo, detect_cfg, fit_cfg)
+    reg = register_sequence(batch, angles, reg_cfg)
+    return batch, reg

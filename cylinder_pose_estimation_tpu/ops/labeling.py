@@ -1,0 +1,221 @@
+"""Connected components, component statistics and centroid extraction.
+
+Replaces cv2.connectedComponents / cv2.findContours+moments
+(ref utils/util_cylinder.py:24-33 label_and_color_masks, :1818-1827 joint
+centroids, largest-contour selection throughout) with dense, jit-safe
+equivalents over fixed shapes:
+
+  * labels: iterative min-label propagation.  Each round does a segmented
+    min-scan along rows then columns (forward+backward), which propagates
+    across an entire straight run in one step -- so convergence needs
+    O(#bends) rounds, not O(component diameter).  8-connectivity is restored
+    by a 3x3 min-pool between scans.  Iteration count is static (config).
+  * per-component stats: one jax.ops.segment_sum keyed by the label image
+    (labels are root linear indices; num_segments = H*W + 1).
+  * top-K components by pixel count -> compact (K,) slots with masks, giving
+    the fixed-capacity "contour list" every downstream stage consumes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Sentinel label for background (kept at num_segments index, dropped later).
+def _bg(hw: int) -> int:
+    return hw
+
+
+def _segmented_min_scan(vals: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Min-scan along an axis, restarting at mask==False boundaries.
+
+    Associative combine on (value, reset): a∘b = (b if b.reset else min(a,b)).
+    """
+
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
+
+    reset = ~mask
+    fwd = lax.associative_scan(combine, (vals, reset), axis=axis)[0]
+    bwd = lax.associative_scan(combine, (vals, reset), axis=axis, reverse=True)[0]
+    return jnp.minimum(fwd, bwd)
+
+
+def connected_components(mask: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
+    """Label 8-connected components of a bool (H, W) mask.
+
+    Returns int32 labels: background pixels get H*W, foreground pixels the
+    minimum linear index of their component (after `iters` rounds; components
+    with more than ~2*iters direction changes may stay split -- iters is
+    config-static and sized for laser-grid geometry).
+    """
+    h, w = mask.shape
+    hw = h * w
+    idx = jnp.arange(hw, dtype=jnp.int32).reshape(h, w)
+    big = jnp.asarray(hw, jnp.int32)
+    lab = jnp.where(mask, idx, big)
+    fmask = mask.astype(jnp.float32)
+
+    def round_fn(_, lab):
+        # 3x3 min-pool over foreground (8-connectivity bridging).
+        labf = jnp.where(mask, lab, big).astype(jnp.float32)
+        pooled = -lax.reduce_window(
+            -labf, -jnp.inf, lax.max, (3, 3), (1, 1), "SAME"
+        )
+        lab = jnp.where(mask, jnp.minimum(lab, pooled.astype(jnp.int32)), big)
+        # Long-range propagation along straight runs.
+        lab = jnp.where(
+            mask, _segmented_min_scan(lab, mask, axis=1), big
+        )
+        lab = jnp.where(
+            mask, _segmented_min_scan(lab, mask, axis=0), big
+        )
+        return lab
+
+    return lax.fori_loop(0, iters, round_fn, lab)
+
+
+class ComponentStats(NamedTuple):
+    """Top-K components of a label image, fixed capacity with masks."""
+
+    root: jnp.ndarray       # (K,) int32 root label (H*W if slot empty)
+    count: jnp.ndarray      # (K,) int32 pixel count
+    centroid: jnp.ndarray   # (K, 2) float (x, y)
+    bbox: jnp.ndarray       # (K, 4) int32 x0, y0, x1, y1 (inclusive)
+    valid: jnp.ndarray      # (K,)
+    # second moments for orientation estimates (about the centroid)
+    mxx: jnp.ndarray        # (K,)
+    mxy: jnp.ndarray        # (K,)
+    myy: jnp.ndarray        # (K,)
+
+
+def _segmented_scan_sorted(vals: jnp.ndarray, boundary: jnp.ndarray, op) -> jnp.ndarray:
+    """Inclusive segmented scan over a label-sorted 1-D array."""
+
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, op(av, bv)), ar | br
+
+    return lax.associative_scan(combine, (vals, boundary), axis=0)[0]
+
+
+def component_stats(labels: jnp.ndarray, k: int, min_area: int = 1) -> ComponentStats:
+    """Reduce a label image to its K largest components' statistics.
+
+    TPU-shaped implementation: sort-based segment reduction instead of
+    scatter.  Scatter-style segment_sum over H*W segments costs ~12 ms per
+    call on v5e and lax.top_k with k~512 over 307k elements costs ~108 ms
+    (measured); full sorts and associative scans of the same size are
+    effectively free, so everything here is sorts + segmented scans +
+    gathers:
+
+      1. argsort the flat label image (payload follows by gather);
+      2. run boundaries where the sorted label changes; per-run sums via
+         cumsum differences at run ends, per-run min/max via segmented scans;
+      3. run lengths from consecutive run-start positions; top-K components
+         selected by argsort(-length) -- another cheap sort.
+    """
+    h, w = labels.shape
+    hw = h * w
+    flat = labels.reshape(-1)
+    i32 = jnp.int32
+
+    order = jnp.argsort(flat)
+    sl = flat[order]
+    xs = (order % w).astype(jnp.float32)
+    ys = (order // w).astype(jnp.float32)
+
+    payload = jnp.stack([xs, ys, xs * xs, xs * ys, ys * ys], axis=-1)  # (HW, 5)
+    csum = jnp.cumsum(payload, axis=0)
+
+    pos = jnp.arange(hw, dtype=i32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sl[1:] != sl[:-1]]
+    )
+    # Sorted run-start positions; invalid slots park at hw.
+    starts = jnp.sort(jnp.where(boundary, pos, hw))
+    ends = jnp.concatenate([starts[1:], jnp.asarray([hw], i32)])
+    ends = jnp.minimum(ends, hw)
+    run_valid = starts < hw
+    length = jnp.where(run_valid, ends - starts, 0)
+    root = sl[jnp.clip(starts, 0, hw - 1)]
+    length = jnp.where(root >= hw, 0, length)  # drop the background run
+
+    # Top-K runs by length via a full sort (fast) instead of top_k (slow).
+    sel = jnp.argsort(-length)[:k]
+    cnt_k = length[sel]
+    valid = cnt_k >= min_area
+    root_k = root[sel]
+    s_idx = jnp.clip(starts[sel], 0, hw - 1)
+    e_idx = jnp.clip(ends[sel] - 1, 0, hw - 1)
+    sums = csum[e_idx] - jnp.where(
+        (s_idx > 0)[:, None], csum[jnp.maximum(s_idx - 1, 0)], 0.0
+    )
+
+    c = jnp.maximum(cnt_k.astype(jnp.float32), 1.0)
+    cx = sums[:, 0] / c
+    cy = sums[:, 1] / c
+    mxx = sums[:, 2] / c - cx * cx
+    mxy = sums[:, 3] / c - cx * cy
+    myy = sums[:, 4] / c - cy * cy
+
+    # Per-run bbox: segmented min/max scans, values at run ends.
+    xmin = _segmented_scan_sorted(xs, boundary, jnp.minimum)[e_idx]
+    ymin = _segmented_scan_sorted(ys, boundary, jnp.minimum)[e_idx]
+    xmax = _segmented_scan_sorted(xs, boundary, jnp.maximum)[e_idx]
+    ymax = _segmented_scan_sorted(ys, boundary, jnp.maximum)[e_idx]
+    bbox = jnp.stack([xmin, ymin, xmax, ymax], axis=-1)
+    bbox = jnp.where(valid[:, None], bbox, 0.0).astype(i32)
+
+    return ComponentStats(
+        root=jnp.where(valid, root_k, hw).astype(i32),
+        count=cnt_k.astype(i32),
+        centroid=jnp.stack([cx, cy], -1),
+        bbox=bbox,
+        valid=valid,
+        mxx=mxx,
+        mxy=mxy,
+        myy=myy,
+    )
+
+
+def largest_component_mask(labels: jnp.ndarray) -> jnp.ndarray:
+    """Bool mask of the largest foreground component (cv2 'max contour')."""
+    stats = component_stats(labels, k=1)
+    return labels == stats.root[0]
+
+
+def component_orientation(stats: ComponentStats) -> jnp.ndarray:
+    """Per-component dominant axis angle (radians, x-right / y-down) from the
+    second central moments: 0.5 * atan2(2 mxy, mxx - myy)."""
+    return 0.5 * jnp.arctan2(2.0 * stats.mxy, stats.mxx - stats.myy)
+
+
+def fill_orthoconvex(mask: jnp.ndarray, rounds: int = 2) -> jnp.ndarray:
+    """Row/column convex fill: fills between the per-row and per-column
+    extremes, iterated.  Cheap stand-in for cv2.convexHull+drawContours
+    (ref utils/util_cylinder.py:1893-1896): exact for orthogonally convex
+    regions, slightly tighter than the true hull otherwise -- it feeds ROI
+    masks, where the reference's +expansion margins absorb the difference."""
+
+    def fill_axis(m, axis):
+        idx = jnp.arange(m.shape[axis])
+        shape = [1, 1]
+        shape[axis] = m.shape[axis]
+        idxb = idx.reshape(shape)
+        big = m.shape[axis] + 1
+        lo = jnp.min(jnp.where(m, idxb, big), axis=axis, keepdims=True)
+        hi = jnp.max(jnp.where(m, idxb, -1), axis=axis, keepdims=True)
+        return (idxb >= lo) & (idxb <= hi)
+
+    out = mask
+    for _ in range(rounds):
+        out = fill_axis(out, 1)
+        out = fill_axis(out, 0)
+    return out

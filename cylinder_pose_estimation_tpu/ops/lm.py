@@ -79,6 +79,14 @@ def levenberg_marquardt(
         n_acc = n_acc + accept.astype(jnp.int32)
         return (p, cost, lam, n_acc)
 
-    init = (params0, cost0, jnp.asarray(lambda0, dtype), jnp.asarray(0, jnp.int32))
+    # Derive the scalar carries from cost0 so they inherit its varying-axes
+    # metadata under shard_map (a literal lambda0 would be 'unvarying' while
+    # the body output varies over the mapped axis, breaking the fori_loop).
+    init = (
+        params0,
+        cost0,
+        jnp.full_like(cost0, lambda0),
+        jnp.zeros_like(cost0, dtype=jnp.int32),
+    )
     p, cost, _, n_acc = jax.lax.fori_loop(0, iters, step, init)
     return LMResult(params=p, cost0=cost0, cost=cost, n_accepted=n_acc)

@@ -101,12 +101,6 @@ def cylinder_grid_points(
     )  # (R, C, 3)
     pts3 = surf.reshape(-1, 3)
 
-    ridx = jnp.arange(n_rows) - center_rc[0]
-    cidx = jnp.arange(n_cols) - center_rc[1]
-    r_grid, c_grid = jnp.meshgrid(ridx, cidx, indexing="ij")
-    # Reference cylinder-path id order: (x_index, y_index) = (col, row).
-    idx = jnp.stack([c_grid, r_grid], axis=-1).reshape(-1, 2).astype(jnp.int32)
-
     n = pts3.shape[0]
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
@@ -121,6 +115,24 @@ def cylinder_grid_points(
     eye = jnp.eye(4, dtype=dtype)
     xy1 = view(pts3, eye, stereo.cam1, k1)
     xy2 = view(pts3, stereo.t_c2_c1, stereo.cam2, k2)
+
+    # Grid indices follow the detector's (and reference's) convention: labels
+    # are ranked by image position, so col index must increase with projected
+    # x and row index with projected y (ref clean_and_relabel + indexing_data,
+    # utils/util_cylinder.py:1154-1206, 1480-1497).  Orient the (theta, h)
+    # parametrization accordingly from the view-1 projection.
+    xy1_grid = xy1.reshape(n_rows, n_cols, 2)
+    col_sign = jnp.where(
+        jnp.mean(xy1_grid[:, -1, 0] - xy1_grid[:, 0, 0]) >= 0, 1, -1
+    )
+    row_sign = jnp.where(
+        jnp.mean(xy1_grid[-1, :, 1] - xy1_grid[0, :, 1]) >= 0, 1, -1
+    )
+    ridx = (jnp.arange(n_rows) - center_rc[0]) * row_sign
+    cidx = (jnp.arange(n_cols) - center_rc[1]) * col_sign
+    r_grid, c_grid = jnp.meshgrid(ridx, cidx, indexing="ij")
+    # Reference cylinder-path id order: (x_index, y_index) = (col, row).
+    idx = jnp.stack([c_grid, r_grid], axis=-1).reshape(-1, 2).astype(jnp.int32)
 
     valid = jnp.ones(n, dtype=bool)
     center_flat = center_rc[0] * n_cols + center_rc[1]
@@ -167,7 +179,8 @@ def plane_grid_points(
     origin = jnp.asarray(origin, dtype)
     normal = jnp.asarray(normal, dtype)
     normal = normal / jnp.linalg.norm(normal)
-    # Build an in-plane frame.
+    # Build an in-plane frame: u = normal x x_hat is ~vertical (the row
+    # direction), v completes it ~horizontally (the column direction).
     a = jnp.array([1.0, 0.0, 0.0], dtype)
     u = jnp.cross(normal, a)
     u = u / jnp.linalg.norm(u)
@@ -177,13 +190,7 @@ def plane_grid_points(
     rr = (jnp.arange(n_rows, dtype=dtype) - r0) * spacing
     cc = (jnp.arange(n_cols, dtype=dtype) - c0) * spacing
     rg, cg = jnp.meshgrid(rr, cc, indexing="ij")
-    pts3 = (origin + rg[..., None] * v + cg[..., None] * u).reshape(-1, 3)
-
-    ridx = jnp.arange(n_rows) - r0
-    cidx = jnp.arange(n_cols) - c0
-    r_grid, c_grid = jnp.meshgrid(ridx, cidx, indexing="ij")
-    # Reference plane-path id order: (row_index, col_index) (SURVEY.md §2a).
-    idx = jnp.stack([r_grid, c_grid], axis=-1).reshape(-1, 2).astype(jnp.int32)
+    pts3 = (origin + rg[..., None] * u + cg[..., None] * v).reshape(-1, 3)
 
     n = pts3.shape[0]
     key = jax.random.PRNGKey(seed)
@@ -199,6 +206,21 @@ def plane_grid_points(
 
     xy1 = view(eye, stereo.cam1, k1)
     xy2 = view(stereo.t_c2_c1, stereo.cam2, k2)
+
+    # Index orientation: match the detector's rank-by-position convention
+    # (see cylinder_grid_points).
+    xy1_grid = xy1.reshape(n_rows, n_cols, 2)
+    col_sign = jnp.where(
+        jnp.mean(xy1_grid[:, -1, 0] - xy1_grid[:, 0, 0]) >= 0, 1, -1
+    )
+    row_sign = jnp.where(
+        jnp.mean(xy1_grid[-1, :, 1] - xy1_grid[0, :, 1]) >= 0, 1, -1
+    )
+    ridx = (jnp.arange(n_rows) - r0) * row_sign
+    cidx = (jnp.arange(n_cols) - c0) * col_sign
+    r_grid, c_grid = jnp.meshgrid(ridx, cidx, indexing="ij")
+    # Reference plane-path id order: (row_index, col_index) (SURVEY.md §2a).
+    idx = jnp.stack([r_grid, c_grid], axis=-1).reshape(-1, 2).astype(jnp.int32)
     center_flat = r0 * n_cols + c0
 
     def pad_gp(xy):
@@ -279,6 +301,8 @@ def render_grid_image(
     d2c = (xx - c[0]) ** 2 + (yy - c[1]) ** 2
     img = img + center_gain * jnp.exp(-d2c / (2.0 * (2.5 * line_sigma) ** 2))
     if saturate_center:
-        img = jnp.where(d2c < (3.0 * line_sigma) ** 2, 255.0, img)
+        # Wide enough to survive the detector's 19x19 pre-threshold blur
+        # (real specular blobs are tens of pixels across).
+        img = jnp.where(d2c < (8.0 * line_sigma) ** 2, 255.0, img)
 
     return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)

@@ -1,0 +1,139 @@
+"""Detection front-end on rendered synthetic laser-grid images.
+
+Ground truth comes from utils/synthetic: known cylinder pose -> projected grid
+-> rendered image.  The detector must recover the grid points (pixel accuracy)
+and their center-relative integer indices (exactly), mirroring SURVEY.md §4's
+golden-strategy: synthesize from the geometry the reference itself defines.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cylinder_pose_estimation_tpu.config import CylinderDetectConfig, PlaneDetectConfig
+from cylinder_pose_estimation_tpu.models.detector import detect_grid
+from cylinder_pose_estimation_tpu.utils.synthetic import (
+    cylinder_grid_points,
+    default_stereo,
+    plane_grid_points,
+    render_grid_image,
+)
+
+H, W = 480, 640
+N_ROWS = N_COLS = 9
+
+
+def _cylinder_image(noise=2.0, seed=0, saturate=False):
+    stereo = default_stereo()
+    scene = cylinder_grid_points(
+        stereo, capacity=128, n_rows=N_ROWS, n_cols=N_COLS,
+        origin=(0.0, -40.0, 560.0), radius=70.0, row_spacing=18.0, theta_span=2.0,
+    )
+    img = render_grid_image(
+        scene.gp1.xy, scene.gp1.valid, N_ROWS, N_COLS, H, W,
+        saturate_center=saturate,
+    )
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        img = jnp.clip(
+            img.astype(jnp.float32) + jnp.asarray(rng.normal(0, noise, (H, W)), jnp.float32),
+            0, 255,
+        )
+    return scene, img
+
+
+def _gt_map(gp, n):
+    """(x_index, y_index) -> (x, y) for the first n GT points."""
+    idx = np.asarray(gp.idx)[:n]
+    xy = np.asarray(gp.xy)[:n]
+    return {tuple(idx[i]): xy[i] for i in range(n)}
+
+
+def test_cylinder_detection_recovers_grid():
+    scene, img = _cylinder_image()
+    cfg = CylinderDetectConfig(height=H, width=W)
+    res = detect_grid(img, cfg)
+    assert bool(res.ok)
+
+    det_idx = np.asarray(res.grid.idx)
+    det_xy = np.asarray(res.grid.xy)
+    det_valid = np.asarray(res.grid.valid)
+    gt = _gt_map(scene.gp1, N_ROWS * N_COLS)
+
+    n_det = det_valid.sum()
+    # cylinder path drops first row, last col and negative cols:
+    # 9x9 grid, center at (4,4) -> cols 0..4 (5) minus last col, rows 8 ->
+    # at least half the positive quadrant must survive.
+    assert n_det >= 20
+
+    matched = 0
+    errs = []
+    for i in range(len(det_valid)):
+        if not det_valid[i]:
+            continue
+        key = tuple(det_idx[i])
+        assert key in gt, f"detected id {key} not in ground truth"
+        errs.append(np.linalg.norm(det_xy[i] - gt[key]))
+        matched += 1
+    errs = np.asarray(errs)
+    assert matched == n_det
+    assert np.median(errs) < 1.5, f"median err {np.median(errs)}"
+    assert errs.max() < 4.0, f"max err {errs.max()}"
+
+
+def test_cylinder_detection_drops_negative_cols():
+    scene, img = _cylinder_image()
+    cfg = CylinderDetectConfig(height=H, width=W)
+    res = detect_grid(img, cfg)
+    det_idx = np.asarray(res.grid.idx)[np.asarray(res.grid.valid)]
+    assert (det_idx[:, 0] >= 0).all()  # x_index = col index
+
+
+def test_plane_detection_recovers_grid():
+    stereo = default_stereo()
+    scene = plane_grid_points(stereo, capacity=256, n_rows=9, n_cols=9, spacing=42.0)
+    img = render_grid_image(scene.gp1.xy, scene.gp1.valid, 9, 9, H, W)
+    rng = np.random.default_rng(3)
+    img = jnp.clip(
+        img.astype(jnp.float32) + jnp.asarray(rng.normal(0, 2.0, (H, W)), jnp.float32),
+        0, 255,
+    )
+    cfg = PlaneDetectConfig(height=H, width=W, roi_threshold=30.0)
+    res = detect_grid(img, cfg)
+    assert bool(res.ok)
+    det_idx = np.asarray(res.grid.idx)
+    det_xy = np.asarray(res.grid.xy)
+    det_valid = np.asarray(res.grid.valid)
+    # plane ids are (row, col): invert for the GT map which stores (row, col)
+    gt = _gt_map(scene.gp1, 81)
+    matched, errs = 0, []
+    for i in range(len(det_valid)):
+        if not det_valid[i]:
+            continue
+        key = tuple(det_idx[i])
+        if key in gt:
+            errs.append(np.linalg.norm(det_xy[i] - gt[key]))
+            matched += 1
+    assert matched >= 50
+    assert np.median(errs) < 1.5
+
+
+def test_detection_jits_and_vmaps():
+    scene, img = _cylinder_image()
+    cfg = CylinderDetectConfig(height=H, width=W)
+    fn = jax.jit(lambda im: detect_grid(im, cfg).grid.valid)
+    single = np.asarray(fn(img))
+    batch = jnp.stack([img, img])
+    fnb = jax.jit(jax.vmap(lambda im: detect_grid(im, cfg).grid.valid))
+    both = np.asarray(fnb(batch))
+    np.testing.assert_array_equal(both[0], single)
+    np.testing.assert_array_equal(both[1], single)
+
+
+def test_detection_survives_blank_image():
+    cfg = CylinderDetectConfig(height=H, width=W)
+    img = jnp.full((H, W), 20.0, jnp.float32)
+    res = detect_grid(img, cfg)
+    assert not bool(res.ok)
+    assert np.isfinite(np.asarray(res.grid.xy)[np.asarray(res.grid.valid)]).all()
