@@ -41,18 +41,34 @@ def sep_filter2d(
 ) -> jnp.ndarray:
     """Separable correlation: rows with kx, columns with ky (cv2.sepFilter2D).
 
-    img: (H, W); ky: (Ky,); kx: (Kx,).  Runs as two XLA convolutions in
-    NCHW/OIHW layout (batch = channels = 1).
+    img: (H, W); ky: (Ky,); kx: (Kx,).  Implemented as weighted sums of
+    statically shifted slices, NOT lax.conv: a 1-channel conv leaves the MXU
+    idle and measured ~2 ms per 25-tap pass on v5e, while the slice form is a
+    single fused VPU pass over the array per axis.
     """
     ry, rx = ky.shape[0] // 2, kx.shape[0] // 2
-    p = pad2d(img, ry, rx, mode)[None, None]  # (1, 1, H+2ry, W+2rx)
-    # Correlation = convolution with an unflipped kernel; lax.conv uses
-    # cross-correlation semantics already.
-    kxa = kx[None, None, None, :].astype(p.dtype)
-    kya = ky[None, None, :, None].astype(p.dtype)
-    out = lax.conv_general_dilated(p, kxa, (1, 1), "VALID")
-    out = lax.conv_general_dilated(out, kya, (1, 1), "VALID")
-    return out[0, 0]
+    h, w = img.shape
+    p = pad2d(img, ry, rx, mode)
+    kxa = kx.astype(img.dtype)
+    kya = ky.astype(img.dtype)
+
+    # fori_loop keeps the HLO graph O(1) in tap count: a 25-tap kernel fully
+    # unrolled as slices made batched compiles blow past an hour on the
+    # remote compiler, while the loop compiles in seconds and each iteration
+    # is one cheap fused multiply-add pass.
+    def row_body(i, acc):
+        sl = lax.dynamic_slice(p, (0, i), (h + 2 * ry, w))
+        return acc + kxa[i] * sl
+
+    out = lax.fori_loop(
+        0, kx.shape[0], row_body, jnp.zeros((h + 2 * ry, w), img.dtype)
+    )
+
+    def col_body(j, acc):
+        sl = lax.dynamic_slice(out, (j, 0), (h, w))
+        return acc + kya[j] * sl
+
+    return lax.fori_loop(0, ky.shape[0], col_body, jnp.zeros((h, w), img.dtype))
 
 
 def gaussian_kernel1d_cv(ksize: int, sigma: float = 0.0) -> jnp.ndarray:
@@ -99,14 +115,27 @@ def box_filter(
     """cv2.boxFilter equivalent (the reference calls it with BORDER_REPLICATE
     for fast Sauvola: ref utils/util_cylinder.py:1755-1758).
 
-    Implemented as a separable ones-kernel correlation; XLA turns the two 1D
-    convs into fused reductions.
+    Cumulative-sum form: two cumsum passes + two subtractions regardless of
+    window size (a 15x15 ones-kernel as slices would be 30 reads/pixel).
     """
-    one = jnp.ones((ksize,), img.dtype)
-    out = sep_filter2d(img, one, one, mode)
+    r = ksize // 2
+    p = pad2d(img, r, r, mode)
+    h, w = img.shape
+
+    def box1d(x, axis, n_out):
+        cs = jnp.cumsum(x, axis=axis, dtype=jnp.float32)
+        zero_shape = list(x.shape)
+        zero_shape[axis] = 1
+        cs = jnp.concatenate([jnp.zeros(zero_shape, cs.dtype), cs], axis=axis)
+        hi = lax.slice_in_dim(cs, ksize, ksize + n_out, axis=axis)
+        lo = lax.slice_in_dim(cs, 0, n_out, axis=axis)
+        return hi - lo
+
+    out = box1d(p, 1, w)
+    out = box1d(out, 0, h)
     if normalize:
         out = out / (ksize * ksize)
-    return out
+    return out.astype(img.dtype)
 
 
 def gradient2d(img: jnp.ndarray):

@@ -1,0 +1,111 @@
+"""Visualization + CLI driver smoke tests (host-side, synthetic data)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from cylinder_pose_estimation_tpu import cli
+from cylinder_pose_estimation_tpu.utils import viz
+from cylinder_pose_estimation_tpu.utils.io import save_stereo_json
+from cylinder_pose_estimation_tpu.utils.synthetic import (
+    cylinder_grid_points,
+    default_stereo,
+    render_grid_image,
+)
+
+
+def _scene():
+    stereo = default_stereo()
+    return stereo, cylinder_grid_points(
+        stereo, capacity=128, origin=(0.0, -40.0, 560.0), radius=70.0,
+        row_spacing=18.0, theta_span=2.0,
+    )
+
+
+def test_cylinder_mesh_points_on_surface():
+    _, scene = _scene()
+    xs, ys, zs = viz.cylinder_mesh(np.asarray(scene.cyl_params), scene.radius)
+    pts = np.stack([xs, ys, zs], -1).reshape(-1, 3)
+    from cylinder_pose_estimation_tpu.geometry.cylinder import dist_points_to_line
+
+    d = np.asarray(
+        dist_points_to_line(
+            jnp.asarray(pts, jnp.float32), scene.cyl_params[:3], scene.cyl_params[3:6]
+        )
+    )
+    np.testing.assert_allclose(d, scene.radius, atol=1e-2)
+
+
+def test_viz_figures_render(tmp_path):
+    stereo, scene = _scene()
+    p = str(tmp_path)
+    viz.plot_reprojection_errors(
+        np.full(32, 0.2), np.ones(32, bool), path=os.path.join(p, "re.png")
+    )
+    viz.visualize_cylinder_fitting(
+        np.asarray(scene.pts3), np.asarray(scene.valid),
+        np.asarray(scene.cyl_params), np.asarray(scene.cyl_params), scene.radius,
+        path=os.path.join(p, "fit.png"),
+    )
+    viz.plot_fvals(np.asarray([[900.0, 60.0], [800.0, 50.0]]), path=os.path.join(p, "fv.png"))
+    viz.plot_cylinders_3d([np.asarray(scene.cyl_params)], scene.radius, path=os.path.join(p, "c3.png"))
+    img = render_grid_image(scene.gp1.xy, scene.gp1.valid, 9, 9, 480, 640)
+    viz.overlay_detection(np.asarray(img), scene.gp1, path=os.path.join(p, "ov.png"))
+    for f in ("re.png", "fit.png", "fv.png", "c3.png", "ov.png"):
+        assert os.path.getsize(os.path.join(p, f)) > 1000
+
+
+def test_parse_img_info():
+    assert cli.parse_img_info("10-20") == (10.0, -20.0)
+    assert cli.parse_img_info("-15-5") == (-15.0, -5.0)
+    assert cli.parse_img_info("00") == (0.0, 0.0)
+    assert cli.parse_img_info("frame1") is None
+
+
+def test_cli_detect_folder(tmp_path):
+    stereo, scene = _scene()
+    cam_json = str(tmp_path / "cameras.json")
+    save_stereo_json(cam_json, stereo)
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    for side, gp in (("L", scene.gp1), ("R", scene.gp2)):
+        img = render_grid_image(gp.xy, gp.valid, 9, 9, 480, 640)
+        cli.save_image(str(in_dir / f"00{side}.png"), np.asarray(img))
+    cli.main([
+        "detect-folder", "--camera-json", cam_json,
+        "--input", str(in_dir), "--output", str(out_dir), "--mode", "cylinder",
+    ])
+    data = json.load(open(out_dir / "processed_images_data.json"))
+    assert set(data) == {"00L.png", "00R.png"}
+    for v in data.values():
+        assert "points" in v and len(v["points"]) >= 10
+    assert (out_dir / "00L_arc.png").exists()
+
+
+def test_cli_experiment(tmp_path):
+    stereo, _ = _scene()
+    cam_json = str(tmp_path / "cameras.json")
+    save_stereo_json(cam_json, stereo)
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    # two frames at pan/tilt (0,0) and (5,-3) degrees; reuse the same scene
+    # geometry per frame (kinematic consistency isn't asserted here -- the
+    # smoke test checks the driver plumbing end to end).
+    for name in ("00", "5-3"):
+        scene = cylinder_grid_points(
+            default_stereo(), capacity=128, origin=(0.0, -40.0, 560.0),
+            radius=70.0, row_spacing=18.0, theta_span=2.0,
+        )
+        for side, gp in (("L", scene.gp1), ("R", scene.gp2)):
+            img = render_grid_image(gp.xy, gp.valid, 9, 9, 480, 640)
+            cli.save_image(str(in_dir / f"{name}{side}.png"), np.asarray(img))
+    cli.main([
+        "experiment", "--camera-json", cam_json,
+        "--input", str(in_dir), "--output", str(out_dir), "--radius", "70",
+    ])
+    assert (out_dir / "T_cam_agv.npy").exists()
+    assert (out_dir / "fvals.png").exists()
