@@ -41,16 +41,13 @@ def main() -> None:
     from __graft_entry__ import _example_pair
 
     height, width = 480, 640
-    batch = 16
-    stereo, (i1, i2) = _example_pair(height, width, n_frames=4)
-    reps = batch // 4
-    i1 = np.tile(i1, (reps, 1, 1))
-    i2 = np.tile(i2, (reps, 1, 1))
+    batch = 4
+    stereo, (i1, i2) = _example_pair(height, width, n_frames=batch)
     d1 = jax.device_put(jnp.asarray(i1))
     d2 = jax.device_put(jnp.asarray(i2))
     jax.block_until_ready((d1, d2))
 
-    detect_cfg = CylinderDetectConfig(height=height, width=width)
+    detect_cfg = CylinderDetectConfig(height=height, width=width, use_pallas=True)
     fit_cfg = FitConfig()
 
     @jax.jit
@@ -62,7 +59,7 @@ def main() -> None:
     out = step(d1, d2, jnp.float32(0.0))
     np.asarray(out[0])
 
-    n_iters = 3
+    n_iters = 6
     ks = [jax.device_put(jnp.float32(1e-4 * (i + 1))) for i in range(n_iters)]
     jax.block_until_ready(ks)
     t0 = time.perf_counter()

@@ -201,9 +201,46 @@ def cmd_experiment(args) -> None:
         print("wrote", args.output)
 
 
+def cmd_undistort_folder(args) -> None:
+    """Standalone folder undistorter (ref utils/iotool.py:41-72
+    process_images_in_folder): undistort every image by the camera picked
+    from the 'L'/'R' filename convention and write '<name>_undistorted.png'."""
+    import jax
+    import jax.numpy as jnp
+
+    from cylinder_pose_estimation_tpu.ops.remap import undistort_image
+    from cylinder_pose_estimation_tpu.utils.io import load_stereo_json
+
+    stereo = load_stereo_json(args.camera_json)
+    os.makedirs(args.output, exist_ok=True)
+    files = [
+        f
+        for f in sorted(os.listdir(args.input))
+        if f.lower().endswith((".png", ".jpg", ".bmp"))
+    ]
+
+    und = {
+        True: jax.jit(lambda x: undistort_image(x, stereo.cam1)),
+        False: jax.jit(lambda x: undistort_image(x, stereo.cam2)),
+    }
+    for f in _progress(files, "undistort"):
+        img = load_image(os.path.join(args.input, f))
+        is_left = "L" in os.path.splitext(f)[0]
+        out = np.asarray(und[is_left](jnp.asarray(img)))
+        base = os.path.splitext(f)[0]
+        save_image(os.path.join(args.output, base + "_undistorted.png"), out)
+    print("wrote", len(files), "images to", args.output)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="cylpose", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    u = sub.add_parser("undistort-folder", help="undistort a folder of images")
+    u.add_argument("--camera-json", required=True)
+    u.add_argument("--input", required=True)
+    u.add_argument("--output", required=True)
+    u.set_defaults(fn=cmd_undistort_folder)
 
     d = sub.add_parser("detect-folder", help="batch grid detection over a folder")
     d.add_argument("--camera-json", required=True)

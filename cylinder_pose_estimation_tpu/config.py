@@ -81,6 +81,16 @@ class DetectConfig:
     # image compute dtype ("float32" or "bfloat16" for the filter front-end)
     image_dtype: str = "float32"
 
+    # --- backend -------------------------------------------------------------
+    # VMEM-resident Pallas kernels for the stencil-heavy stages (preprocess/
+    # binarize/openings fused into one kernel; connected components as
+    # in-VMEM label propagation).  The XLA path (False) is the portable
+    # reference implementation used by CPU tests.
+    use_pallas: bool = False
+    pallas_cc_rounds: int = 16   # CC rounds (pools + row/col segmented scans);
+                                 # convergence needs O(direction changes)
+    pallas_interpret: bool = False  # interpreter mode (for CPU validation)
+
     @property
     def mode(self) -> str:
         raise NotImplementedError

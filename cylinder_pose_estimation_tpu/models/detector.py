@@ -61,6 +61,22 @@ from cylinder_pose_estimation_tpu.types import DetectResult, GridPoints
 _MAX_COMPONENTS = 48  # per-mask line components tracked for angles/gating
 
 
+def _cc(mask: jnp.ndarray, xla_iters: int, cfg: DetectConfig, frac: float = 1.0):
+    """Connected components: Pallas VMEM propagation or the XLA scan path.
+
+    frac scales the Pallas pool-iteration budget by expected component
+    diameter (small blobs need far fewer rounds than full-length lines).
+    """
+    if cfg.use_pallas:
+        from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
+            connected_components as cc_pallas,
+        )
+
+        rounds = max(6, int(round(cfg.pallas_cc_rounds * frac)))
+        return cc_pallas(mask, rounds=rounds, interpret=cfg.pallas_interpret)
+    return labeling.connected_components(mask, iters=xla_iters)
+
+
 class DetectDebug(NamedTuple):
     """Intermediate masks for visualization/tests (all (H, W) bool)."""
 
@@ -94,10 +110,27 @@ def _joint_centroids(
     Returns int-truncated float centroids (the reference casts int(M10/M00))
     and a validity mask, capacity cfg.max_points.
     """
-    labels = labeling.connected_components(joints, iters=8)
+    labels = _cc(joints, 8, cfg, frac=0.4)
     stats = labeling.component_stats(labels, k=cfg.max_points)
     cents = jnp.floor(stats.centroid)
     return cents, stats.valid
+
+
+def _largest_component_lowres(mask: jnp.ndarray, cfg: DetectConfig) -> jnp.ndarray:
+    """Largest connected component computed at 1/4 resolution.
+
+    ROI components span most of the image (geodesic diameter ~500 px), which
+    is expensive for any label-propagation scheme at full resolution but
+    trivial at 1/4: max-pool down, label with the (cheap, tiny) XLA scan CC,
+    upsample the winner.  The ROI feeds a bbox + mask with +35 px margins, so
+    quarter-pixel fidelity is irrelevant."""
+    h, w = mask.shape
+    small = jax.lax.reduce_window(
+        mask.astype(jnp.float32), -jnp.inf, jax.lax.max, (4, 4), (4, 4), "VALID"
+    ) > 0.5
+    labels = labeling.connected_components(small, iters=cfg.cc_iters)
+    largest = labeling.largest_component_mask(labels)
+    return jnp.repeat(jnp.repeat(largest, 4, axis=0), 4, axis=1)[:h, :w]
 
 
 def _roi_cylinder(
@@ -108,16 +141,14 @@ def _roi_cylinder(
     ref detect_largest_blob utils/util_cylinder.py:1830-1899)."""
     lines = h_mask | v_mask
     merged = morphology.dilate_rect(lines, 35, 35)
-    labels = labeling.connected_components(merged, iters=cfg.cc_iters // 4)
-    largest = labeling.largest_component_mask(labels)
+    largest = _largest_component_lowres(merged, cfg) & merged
     return labeling.fill_orthoconvex(largest)
 
 
 def _roi_plane(gray: jnp.ndarray, cfg: PlaneDetectConfig) -> jnp.ndarray:
     """Threshold-127 hull ROI (ref get_convex_hull utils/util_plane.py:2590-2689)."""
     th = gray > cfg.roi_threshold
-    labels = labeling.connected_components(th, iters=cfg.cc_iters // 4)
-    largest = labeling.largest_component_mask(labels)
+    largest = _largest_component_lowres(th, cfg) & th
     hull = labeling.fill_orthoconvex(largest)
     return morphology.dilate_rect(hull, 2 * cfg.roi_expand + 1, 2 * cfg.roi_expand + 1)
 
@@ -178,7 +209,7 @@ def _saturation_carve(
     (ref mask_roi_around_center utils/util_cylinder.py:1944-2007)."""
     blurred = gaussian_blur_cv(gray, cfg.sat_blur_ksize)
     sat = blurred > cfg.sat_threshold
-    labels = labeling.connected_components(sat, iters=8)
+    labels = _cc(sat, 8, cfg, frac=0.4)
     stats = labeling.component_stats(labels, k=1)
     has = stats.valid[0]
     cx, cy = stats.centroid[0, 0], stats.centroid[0, 1]
@@ -230,7 +261,7 @@ def _bridge(
     hw = hgt * wdt
     out = mask
     for _ in range(cfg.bridge_repeats):
-        labels = labeling.connected_components(out, iters=cfg.cc_iters // 2)
+        labels = _cc(out, cfg.cc_iters // 2, cfg, frac=1.0)
         stats = labeling.component_stats(labels, k=_MAX_COMPONENTS, min_area=4)
         ang = labeling.component_orientation(stats)
         # wrap into (base - pi/2, base + pi/2]
@@ -338,21 +369,47 @@ def detect_grid(
     dtype = jnp.float32 if cfg.image_dtype == "float32" else jnp.bfloat16
     gray = _to_gray(image, jnp.float32)
 
-    # 1. preprocess / binarize
-    blurred = gaussian_blur_cv(gray.astype(dtype), cfg.blur_ksize)
-    binary = binarize_ridges(
-        blurred.astype(jnp.float32),
-        cfg.ridge_sigma,
-        cfg.sauvola_window,
-        cfg.sauvola_k,
-        cfg.sauvola_r,
-        min_contrast=0.05,
-    )
+    # 1.-2. preprocess / binarize + line openings + joints.  The Pallas path
+    # fuses all of it into one VMEM-resident kernel (~0.06 ms/frame on v5e vs
+    # tens of ms of HBM-bound XLA passes); the XLA path is the portable
+    # reference implementation.
+    if cfg.use_pallas:
+        from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
+            preprocess_binarize,
+        )
 
-    # 2. joints
-    h_mask = morphology.open_rect(binary, 1, cfg.line_kernel_len)
-    v_mask = morphology.open_rect(binary, cfg.line_kernel_len, 1)
-    joints = h_mask & v_mask
+        assert cfg.height % 8 == 0 and cfg.width % 128 == 0, (
+            "pallas front-end needs TPU-tiled image shapes"
+        )
+        b_f, h_f, v_f, j_f = preprocess_binarize(
+            gray,
+            blur_ksize=cfg.blur_ksize,
+            ridge_sigma=cfg.ridge_sigma,
+            sauvola_window=cfg.sauvola_window,
+            sauvola_k=cfg.sauvola_k,
+            sauvola_r=cfg.sauvola_r,
+            min_contrast=0.05,
+            line_len=cfg.line_kernel_len,
+            margin=cfg.line_kernel_len,
+            interpret=cfg.pallas_interpret,
+        )
+        binary = b_f > 0.5
+        h_mask = h_f > 0.5
+        v_mask = v_f > 0.5
+        joints = j_f > 0.5
+    else:
+        blurred = gaussian_blur_cv(gray.astype(dtype), cfg.blur_ksize)
+        binary = binarize_ridges(
+            blurred.astype(jnp.float32),
+            cfg.ridge_sigma,
+            cfg.sauvola_window,
+            cfg.sauvola_k,
+            cfg.sauvola_r,
+            min_contrast=0.05,
+        )
+        h_mask = morphology.open_rect(binary, 1, cfg.line_kernel_len)
+        v_mask = morphology.open_rect(binary, cfg.line_kernel_len, 1)
+        joints = h_mask & v_mask
     cents, cvalid = _joint_centroids(joints, cfg)
 
     # 3. ROI
@@ -375,8 +432,8 @@ def detect_grid(
     v_exp = _bridge(mv, jnp.pi / 2, kernel_len, max_kernel, cfg)
 
     # 6b. label rows/cols and assign centroids
-    h_labels = labeling.connected_components(h_exp, iters=cfg.cc_iters)
-    v_labels = labeling.connected_components(v_exp, iters=cfg.cc_iters)
+    h_labels = _cc(h_exp, cfg.cc_iters, cfg)
+    v_labels = _cc(v_exp, cfg.cc_iters, cfg)
     row_of, row_ok, _ = _assign_labels(h_labels, cents, inside, cfg.max_rows)
     col_of, col_ok, _ = _assign_labels(v_labels, cents, inside, cfg.max_cols)
 

@@ -72,3 +72,36 @@ def fit_single_cylinder(
         points3=tri.points3,
         points_valid=w,
     )
+
+
+def cylinder_axis_info(
+    gp1: GridPoints,
+    gp2: GridPoints,
+    stereo: StereoParams,
+    config: FitConfig = FitConfig(),
+):
+    """Triangulated points + fitted axis segment (ref utils/getInfo3dCylinder.m:1-48).
+
+    The reference variant corresponds exact grid indices, triangulates, fits,
+    and returns the axis segment spanning the projections of the points onto
+    the axis.  Returns (points3, valid, axis_p1, axis_p2, params).
+    """
+    from cylinder_pose_estimation_tpu.geometry.correspond import (
+        find_grid_correspondences,
+    )
+    from cylinder_pose_estimation_tpu.geometry.cylinder import fit_cylinder
+
+    corr = find_grid_correspondences(gp1, gp2, extent=config.grid_extent)
+    tri = triangulate(corr.xy1, corr.xy2, stereo, valid=corr.valid)
+    fit = fit_cylinder(
+        tri.points3, tri.valid, config.cyl_radius,
+        knn_k=config.knn_k, lm_iters=config.lm_iters,
+    )
+    params = apply_prior(fit.params, tri.points3, tri.valid)
+    org = params[:3]
+    d = params[3:6] / jnp.linalg.norm(params[3:6])
+    t = jnp.sum((tri.points3 - org) * d, axis=-1)
+    big = jnp.asarray(jnp.finfo(t.dtype).max, t.dtype)
+    t_lo = jnp.min(jnp.where(tri.valid, t, big))
+    t_hi = jnp.max(jnp.where(tri.valid, t, -big))
+    return tri.points3, tri.valid, org + t_lo * d, org + t_hi * d, params

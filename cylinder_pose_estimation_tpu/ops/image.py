@@ -60,15 +60,21 @@ def sep_filter2d(
         sl = lax.dynamic_slice(p, (0, i), (h + 2 * ry, w))
         return acc + kxa[i] * sl
 
+    # Carry inits derive from the input so they inherit its varying-axes
+    # metadata under shard_map (a fresh zeros() literal would not).
     out = lax.fori_loop(
-        0, kx.shape[0], row_body, jnp.zeros((h + 2 * ry, w), img.dtype)
+        0, kx.shape[0], row_body,
+        jnp.zeros_like(lax.dynamic_slice(p, (0, 0), (h + 2 * ry, w))),
     )
 
     def col_body(j, acc):
         sl = lax.dynamic_slice(out, (j, 0), (h, w))
         return acc + kya[j] * sl
 
-    return lax.fori_loop(0, ky.shape[0], col_body, jnp.zeros((h, w), img.dtype))
+    return lax.fori_loop(
+        0, ky.shape[0], col_body,
+        jnp.zeros_like(lax.dynamic_slice(out, (0, 0), (h, w))),
+    )
 
 
 def gaussian_kernel1d_cv(ksize: int, sigma: float = 0.0) -> jnp.ndarray:

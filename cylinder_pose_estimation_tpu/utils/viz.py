@@ -182,6 +182,33 @@ def plot_cylinders_3d(
     return fig
 
 
+def animate_orbit(
+    pts3: np.ndarray,
+    valid: np.ndarray,
+    params: np.ndarray,
+    radius: float,
+    path: str,
+    n_frames: int = 12,
+):
+    """Orbiting 3D views saved as a frame strip (ref utils/animateOrbit.m).
+
+    matplotlib-Agg stand-in for the MATLAB camorbit animation: renders
+    n_frames azimuth steps into one horizontal strip image."""
+    plt = _plt()
+    fig = plt.figure(figsize=(2.2 * n_frames, 2.4))
+    p = np.asarray(pts3)[np.asarray(valid)]
+    xs, ys, zs = cylinder_mesh(np.asarray(params), radius)
+    for i in range(n_frames):
+        ax = fig.add_subplot(1, n_frames, i + 1, projection="3d")
+        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=1, c="k")
+        ax.plot_surface(xs, ys, zs, alpha=0.2, color="tab:green")
+        ax.view_init(elev=20.0, azim=360.0 * i / n_frames)
+        ax.set_axis_off()
+    fig.tight_layout()
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+
+
 def overlay_detection(
     image: np.ndarray, gp: GridPoints, path: Optional[str] = None
 ):
