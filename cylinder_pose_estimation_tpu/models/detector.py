@@ -173,6 +173,7 @@ def _center_seed(
     gray: jnp.ndarray,
     bbox: jnp.ndarray,
     cfg: DetectConfig,
+    bright_img: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Brightest joint inside the ROI bbox + distance to its 2nd neighbor
     (ref find_cylinder_centroids_and_center utils/util_cylinder.py:1902-1941)."""
@@ -184,8 +185,9 @@ def _center_seed(
         & (cents[:, 1] >= y0)
         & (cents[:, 1] < y0 + bh)
     )
-    patch = 2 * cfg.center_patch_half + 1
-    bright_img = box_filter(gray, patch, mode="constant")
+    if bright_img is None:
+        patch = 2 * cfg.center_patch_half + 1
+        bright_img = box_filter(gray, patch, mode="constant")
     xi = jnp.clip(cents[:, 0].astype(jnp.int32), 0, gray.shape[1] - 1)
     yi = jnp.clip(cents[:, 1].astype(jnp.int32), 0, gray.shape[0] - 1)
     bright = jnp.where(inside, bright_img[yi, xi], -jnp.inf)
@@ -204,11 +206,13 @@ def _saturation_carve(
     v_mask: jnp.ndarray,
     roi_mask: jnp.ndarray,
     cfg: DetectConfig,
+    sat: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Carve the saturated (specular) blob out of the line masks
     (ref mask_roi_around_center utils/util_cylinder.py:1944-2007)."""
-    blurred = gaussian_blur_cv(gray, cfg.sat_blur_ksize)
-    sat = blurred > cfg.sat_threshold
+    if sat is None:
+        blurred = gaussian_blur_cv(gray, cfg.sat_blur_ksize)
+        sat = blurred > cfg.sat_threshold
     labels = _cc(sat, 8, cfg, frac=0.4)
     stats = labeling.component_stats(labels, k=1)
     has = stats.valid[0]
@@ -381,22 +385,30 @@ def detect_grid(
         assert cfg.height % 8 == 0 and cfg.width % 128 == 0, (
             "pallas front-end needs TPU-tiled image shapes"
         )
-        b_f, h_f, v_f, j_f = preprocess_binarize(
-            gray,
-            blur_ksize=cfg.blur_ksize,
-            ridge_sigma=cfg.ridge_sigma,
-            sauvola_window=cfg.sauvola_window,
-            sauvola_k=cfg.sauvola_k,
-            sauvola_r=cfg.sauvola_r,
-            min_contrast=0.05,
-            line_len=cfg.line_kernel_len,
-            margin=cfg.line_kernel_len,
-            interpret=cfg.pallas_interpret,
+        b_f, h_f, v_f, j_f, sat_f, bright_center, bright_index = (
+            preprocess_binarize(
+                gray,
+                blur_ksize=cfg.blur_ksize,
+                ridge_sigma=cfg.ridge_sigma,
+                sauvola_window=cfg.sauvola_window,
+                sauvola_k=cfg.sauvola_k,
+                sauvola_r=cfg.sauvola_r,
+                min_contrast=0.05,
+                line_len=cfg.line_kernel_len,
+                margin=cfg.line_kernel_len,
+                sat_blur_ksize=cfg.sat_blur_ksize,
+                sat_threshold=cfg.sat_threshold,
+                center_patch=2 * cfg.center_patch_half + 1,
+                index_blur_ksize=cfg.index_blur_ksize,
+                index_patch=2 * cfg.patch_half_min + 1,
+                interpret=cfg.pallas_interpret,
+            )
         )
         binary = b_f > 0.5
         h_mask = h_f > 0.5
         v_mask = v_f > 0.5
         joints = j_f > 0.5
+        sat_mask = sat_f > 0.5
     else:
         blurred = gaussian_blur_cv(gray.astype(dtype), cfg.blur_ksize)
         binary = binarize_ridges(
@@ -410,6 +422,9 @@ def detect_grid(
         h_mask = morphology.open_rect(binary, 1, cfg.line_kernel_len)
         v_mask = morphology.open_rect(binary, cfg.line_kernel_len, 1)
         joints = h_mask & v_mask
+        sat_mask = None
+        bright_center = None
+        bright_index = None
     cents, cvalid = _joint_centroids(joints, cfg)
 
     # 3. ROI
@@ -420,10 +435,14 @@ def detect_grid(
     bbox = _bbox_of(roi)
 
     # 4. center seed
-    center, seed_radius, inside = _center_seed(cents, cvalid, gray, bbox, cfg)
+    center, seed_radius, inside = _center_seed(
+        cents, cvalid, gray, bbox, cfg, bright_img=bright_center
+    )
 
     # 5. saturation carve
-    mh, mv, circle_radius0 = _saturation_carve(gray, h_mask, v_mask, roi, cfg)
+    mh, mv, circle_radius0 = _saturation_carve(
+        gray, h_mask, v_mask, roi, cfg, sat=sat_mask
+    )
 
     # 6a. bridge lines
     kernel_len = jnp.asarray(cfg.bridge_kernel_base, jnp.float32) + circle_radius0
@@ -493,9 +512,12 @@ def detect_grid(
     col_rank = _rank_by(mean_x, any_col)
 
     # 6g. center indexing (ref indexing_data :1350-1571)
-    blur_idx = gaussian_blur_cv(gray, cfg.index_blur_ksize)
-    patch = 2 * cfg.patch_half_min + 1
-    bright_img = box_filter(blur_idx, patch, mode="constant")
+    if bright_index is None:
+        blur_idx = gaussian_blur_cv(gray, cfg.index_blur_ksize)
+        patch = 2 * cfg.patch_half_min + 1
+        bright_img = box_filter(blur_idx, patch, mode="constant")
+    else:
+        bright_img = bright_index
     xg = jnp.clip(jnp.round(xi).astype(jnp.int32), 0, gray.shape[1] - 1)
     yg = jnp.clip(jnp.round(yi).astype(jnp.int32), 0, gray.shape[0] - 1)
     bright = jnp.where(accept, bright_img[yg, xg], -jnp.inf)

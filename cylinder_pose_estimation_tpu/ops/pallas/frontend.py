@@ -119,6 +119,9 @@ def _preprocess_kernel(
     h_ref,
     v_ref,
     joints_ref,
+    sat_ref,
+    bright_center_ref,
+    bright_index_ref,
     *,
     k5: tuple,
     k25: tuple,
@@ -128,12 +131,35 @@ def _preprocess_kernel(
     min_contrast: float,
     line_len: int,
     margin: int,
+    k19: tuple,
+    sat_threshold: float,
+    center_patch: int,
+    k7: tuple,
+    index_patch: int,
 ):
-    g = gray_ref[:]
-    h, w = g.shape
+    g0 = gray_ref[:]
+    h, w = g0.shape
+
+    # Side outputs from the raw gray (all fused into this one VMEM pass):
+    # saturation mask (Gaussian 19 -> threshold, ref utils/util_cylinder.py:
+    # 1962-1967), center-seed brightness (box 11 mean, ref :1914-1917) and
+    # indexing brightness (Gaussian 7 -> box mean, ref :1377-1449).
+    sat = _sep_conv_roll(g0, k19, 1)
+    sat = _sep_conv_roll(sat, k19, 0)
+    sat_ref[:] = jnp.where(sat > sat_threshold, 1.0, 0.0)
+
+    bc = _box_sum_roll(g0, center_patch, 1)
+    bc = _box_sum_roll(bc, center_patch, 0)
+    bright_center_ref[:] = bc / float(center_patch * center_patch)
+
+    bi = _sep_conv_roll(g0, k7, 1)
+    bi = _sep_conv_roll(bi, k7, 0)
+    bi = _box_sum_roll(bi, index_patch, 1)
+    bi = _box_sum_roll(bi, index_patch, 0)
+    bright_index_ref[:] = bi / float(index_patch * index_patch)
 
     # Gaussian 5x5 (cv2 sigma rule), separable.
-    g = _sep_conv_roll(g, k5, 1)
+    g = _sep_conv_roll(g0, k5, 1)
     g = _sep_conv_roll(g, k5, 0)
 
     # scipy Gaussian sigma=3 (radius 12 -> 25 taps).
@@ -205,6 +231,11 @@ def _preprocess_kernel(
         "min_contrast",
         "line_len",
         "margin",
+        "sat_blur_ksize",
+        "sat_threshold",
+        "center_patch",
+        "index_blur_ksize",
+        "index_patch",
         "interpret",
     ),
 )
@@ -218,33 +249,43 @@ def preprocess_binarize(
     min_contrast: float = 0.05,
     line_len: int = 20,
     margin: int = 20,
+    sat_blur_ksize: int = 19,
+    sat_threshold: float = 240.0,
+    center_patch: int = 11,
+    index_blur_ksize: int = 7,
+    index_patch: int = 7,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fused preprocess + binarize + line openings + joints (see module doc).
+) -> Tuple[jnp.ndarray, ...]:
+    """Fused preprocess + binarize + openings + joints + side images.
 
     gray: (H, W) float32, H % 8 == 0, W % 128 == 0.
-    Returns (binary, h_mask, v_mask, joints) as float32 0/1 masks.
+    Returns (binary, h_mask, v_mask, joints, sat_mask, bright_center,
+    bright_index): 0/1 float masks plus the two brightness box-mean images
+    the center-seed and indexing stages gather from.
     """
     h, w = gray.shape
-    k5 = _gauss_taps_cv(blur_ksize)
-    k25 = _gauss_taps_scipy(ridge_sigma)
     kernel = functools.partial(
         _preprocess_kernel,
-        k5=k5,
-        k25=k25,
+        k5=_gauss_taps_cv(blur_ksize),
+        k25=_gauss_taps_scipy(ridge_sigma),
         sauvola_window=sauvola_window,
         sauvola_k=sauvola_k,
         sauvola_r=sauvola_r,
         min_contrast=min_contrast,
         line_len=line_len,
         margin=margin,
+        k19=_gauss_taps_cv(sat_blur_ksize),
+        sat_threshold=sat_threshold,
+        center_patch=center_patch,
+        k7=_gauss_taps_cv(index_blur_ksize),
+        index_patch=index_patch,
     )
-    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 4
+    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 7
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

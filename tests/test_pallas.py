@@ -38,7 +38,7 @@ def test_preprocess_binarize_matches_xla_interior():
     h_ref = np.asarray(morphology.open_rect(jnp.asarray(bin_ref), 1, 20))
     v_ref = np.asarray(morphology.open_rect(jnp.asarray(bin_ref), 20, 1))
 
-    b, hm, vm, j = preprocess_binarize(g, interpret=True)
+    b, hm, vm, j, sat, bc, bi = preprocess_binarize(g, interpret=True)
     b = np.asarray(b) > 0.5
     hm = np.asarray(hm) > 0.5
     vm = np.asarray(vm) > 0.5
@@ -48,6 +48,13 @@ def test_preprocess_binarize_matches_xla_interior():
     assert (vm[m:-m, m:-m] == v_ref[m:-m, m:-m]).mean() > 0.995
     # joints exist at the 4 crossings
     assert (np.asarray(j) > 0.5).sum() >= 4
+    # side outputs: no saturation in this image; brightness images track the
+    # local mean (lines brighter than background)
+    assert (np.asarray(sat) > 0.5).sum() == 0
+    bc = np.asarray(bc)
+    assert bc[37, 100] > bc[20, 50] + 30.0
+    bi = np.asarray(bi)
+    assert bi[37, 100] > bi[20, 50] + 20.0
 
 
 def _canon(lab, mask):
