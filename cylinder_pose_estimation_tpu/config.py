@@ -163,8 +163,13 @@ class FitConfig:
     cyl_radius: float = 45.0        # ref exp_gridDetection.m:39
     patch_size: int = 3             # chooseIdx patch (ref fitSingleCylinder.m:12)
     error_threshold: float = 0.3    # mean patch reprojection error gate
-    grid_extent: int = 32           # dense grid-index raster (static); covers
-                                    # indices in [-grid_extent/2, grid_extent/2)
+    grid_extent: int = 24           # dense grid-index raster (static): must
+                                    # cover the grid's index span per axis.
+                                    # The detector caps labels at
+                                    # max_rows/max_cols = 24, so 24 is exact;
+                                    # bump for external grids with wider spans.
+                                    # Raster cells feed the kNN/eigh/LM chain,
+                                    # so capacity is quadratic in this.
     knn_k: int = 20                 # estCurvatures kNN (ref utils/estCurvatures.m:6)
     lm_iters: int = 60              # LM refinement steps (replaces fminsearch,
                                     # ref utils/fitCylinderWPts3.m:33-38)

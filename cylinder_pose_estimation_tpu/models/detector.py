@@ -111,7 +111,9 @@ def _joint_centroids(
     and a validity mask, capacity cfg.max_points.
     """
     labels = _cc(joints, 8, cfg, frac=0.4)
-    stats = labeling.component_stats(labels, k=cfg.max_points)
+    stats = labeling.component_stats_first_k(
+        labels, k=cfg.max_points, compute_bbox=False
+    )
     cents = jnp.floor(stats.centroid)
     return cents, stats.valid
 
@@ -214,14 +216,15 @@ def _saturation_carve(
         blurred = gaussian_blur_cv(gray, cfg.sat_blur_ksize)
         sat = blurred > cfg.sat_threshold
     labels = _cc(sat, 8, cfg, frac=0.4)
-    stats = labeling.component_stats(labels, k=1)
-    has = stats.valid[0]
-    cx, cy = stats.centroid[0, 0], stats.centroid[0, 1]
+    stats = labeling.component_stats_first_k(labels, k=16)
+    li = jnp.argmax(stats.count)  # largest saturated blob
+    has = stats.valid[li]
+    cx, cy = stats.centroid[li, 0], stats.centroid[li, 1]
     # Circumscribing radius: max distance from the centroid to blob pixels.
     hgt, wdt = gray.shape
     yy = jnp.arange(hgt, dtype=jnp.float32)[:, None]
     xx = jnp.arange(wdt, dtype=jnp.float32)[None, :]
-    blob = labels == stats.root[0]
+    blob = labels == stats.root[li]
     dist = jnp.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
     radius0 = jnp.where(has, jnp.max(jnp.where(blob, dist, 0.0)), 0.0)
     r0i = jnp.floor(radius0)
@@ -266,7 +269,9 @@ def _bridge(
     out = mask
     for _ in range(cfg.bridge_repeats):
         labels = _cc(out, cfg.cc_iters // 2, cfg, frac=1.0)
-        stats = labeling.component_stats(labels, k=_MAX_COMPONENTS, min_area=4)
+        stats = labeling.component_stats_first_k(
+            labels, k=_MAX_COMPONENTS, min_area=4
+        )
         ang = labeling.component_orientation(stats)
         # wrap into (base - pi/2, base + pi/2]
         ang = ang - base_angle

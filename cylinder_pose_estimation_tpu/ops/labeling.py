@@ -185,6 +185,80 @@ def component_stats(labels: jnp.ndarray, k: int, min_area: int = 1) -> Component
     )
 
 
+def component_stats_first_k(
+    labels: jnp.ndarray, k: int, min_area: int = 1, compute_bbox: bool = True
+) -> ComponentStats:
+    """Sort-free component stats: first K components in scan order.
+
+    The sort-based ``component_stats`` pays ~4 sorts of H*W elements (~10 ms
+    per call on v5e for 480x640).  This variant instead:
+
+      1. finds component roots (pixels whose label equals their own linear
+         index) and takes the FIRST K in scan order via a fixed-size nonzero
+         -- cumsum machinery, no sort;
+      2. reduces per-component sums with one (K, HW) one-hot matmul on the
+         MXU and bbox min/max with masked reductions over the same one-hot.
+
+    Ordering differs from component_stats (scan order vs count-descending):
+    use it where consumers are order-independent (root matching, validity
+    gates) or select explicitly via argmax(count).  If a mask has more than
+    K components, later (bottom-right) ones are dropped instead of the
+    smallest -- acceptable where K comfortably exceeds the expected count.
+    """
+    h, w = labels.shape
+    hw = h * w
+    flat = labels.reshape(-1)
+    lin = jnp.arange(hw, dtype=jnp.int32)
+    is_root = (flat == lin) & (flat < hw)
+    (root_idx,) = jnp.nonzero(is_root, size=k, fill_value=hw)
+    root_k = jnp.where(root_idx < hw, flat[jnp.clip(root_idx, 0, hw - 1)], hw)
+
+    onehot = (flat[:, None] == root_k[None, :]) & (root_k[None, :] < hw)
+    xs = (lin % w).astype(jnp.float32)
+    ys = (lin // w).astype(jnp.float32)
+    ones = jnp.ones((hw,), jnp.float32)
+    payload = jnp.stack([ones, xs, ys, xs * xs, xs * ys, ys * ys], axis=-1)
+    sums = jax.lax.dot_general(
+        onehot.astype(jnp.float32),
+        payload,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (k, 6)
+
+    cnt = sums[:, 0]
+    valid = cnt >= min_area
+    c = jnp.maximum(cnt, 1.0)
+    cx = sums[:, 1] / c
+    cy = sums[:, 2] / c
+    mxx = sums[:, 3] / c - cx * cx
+    mxy = sums[:, 4] / c - cx * cy
+    myy = sums[:, 5] / c - cy * cy
+
+    if compute_bbox:
+        big = jnp.float32(1e9)
+        xmin = jnp.min(jnp.where(onehot, xs[:, None], big), axis=0)
+        ymin = jnp.min(jnp.where(onehot, ys[:, None], big), axis=0)
+        xmax = jnp.max(jnp.where(onehot, xs[:, None], -big), axis=0)
+        ymax = jnp.max(jnp.where(onehot, ys[:, None], -big), axis=0)
+        bbox = jnp.stack([xmin, ymin, xmax, ymax], axis=-1)
+        bbox = jnp.where(valid[:, None], bbox, 0.0).astype(jnp.int32)
+    else:
+        # centroid-only consumers (e.g. joint extraction) skip the four
+        # masked (HW, K) reductions the bbox costs.
+        bbox = jnp.zeros((k, 4), jnp.int32)
+
+    return ComponentStats(
+        root=jnp.where(valid, root_k, hw).astype(jnp.int32),
+        count=cnt.astype(jnp.int32),
+        centroid=jnp.stack([cx, cy], -1),
+        bbox=bbox,
+        valid=valid,
+        mxx=mxx,
+        mxy=mxy,
+        myy=myy,
+    )
+
+
 def largest_component_mask(labels: jnp.ndarray) -> jnp.ndarray:
     """Bool mask of the largest foreground component (cv2 'max contour')."""
     stats = component_stats(labels, k=1)
