@@ -72,6 +72,12 @@ class DetectConfig:
     newton_iters: int = 12       # our intersection solver (ref scipy root :1074)
     intersection_tol: float = 1e-3  # domain acceptance tol (ref :1095-1100)
 
+    # --- subpixel refinement (ref utils/util_cylinder.py:706-971, OFF in the
+    # reference's main path: commented out at ref :2040) --------------------
+    subpixel_refine: bool = False
+    subpixel_samples: int = 64
+    subpixel_window: int = 7
+
     # --- indexing (ref utils/util_cylinder.py:1350-1571) -------------------
     index_blur_ksize: int = 7    # Gaussian (7,7) before brightness scan
     patch_div: float = 5.0       # half-size = circle_radius0/5 (ref :1377)

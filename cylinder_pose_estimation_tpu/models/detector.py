@@ -469,6 +469,23 @@ def detect_grid(
         cents, col_of, col_ok, cfg.max_cols, cfg.poly_degree, cfg.domain_margin, True
     )
 
+    # 6c'. optional subpixel refinement of the fitted curves toward the
+    # grayscale center of gravity (the reference ships this but keeps it off
+    # its main path, ref :2040; enable via cfg.subpixel_refine)
+    if cfg.subpixel_refine:
+        from cylinder_pose_estimation_tpu.models.refine import refine_curves_cog
+
+        row_coeffs = refine_curves_cog(
+            gray, row_coeffs, row_dom, row_valid, cfg.poly_degree,
+            n_samples=cfg.subpixel_samples, window=cfg.subpixel_window,
+            swap_xy=False,
+        )
+        col_coeffs = refine_curves_cog(
+            gray, col_coeffs, col_dom, col_valid, cfg.poly_degree,
+            n_samples=cfg.subpixel_samples, window=cfg.subpixel_window,
+            swap_xy=True,
+        )
+
     # 6d. prune first row / last col (ref remove_label utils/util_cylinder.py:1211-1269)
     if getattr(cfg, "drop_first_row", False):
         row_min_y = _label_extreme(cents[:, 1], row_of, row_ok, cfg.max_rows, "min")

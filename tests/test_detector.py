@@ -137,3 +137,31 @@ def test_detection_survives_blank_image():
     res = detect_grid(img, cfg)
     assert not bool(res.ok)
     assert np.isfinite(np.asarray(res.grid.xy)[np.asarray(res.grid.valid)]).all()
+
+
+def test_detection_with_subpixel_refinement():
+    """Subpixel refinement (off in the reference main path) must not degrade
+    detection and should keep median error at least as good."""
+    import dataclasses
+
+    scene, img = _cylinder_image()
+    base = CylinderDetectConfig(height=H, width=W)
+    refined = dataclasses.replace(base, subpixel_refine=True)
+    gt = _gt_map(scene.gp1, N_ROWS * N_COLS)
+
+    def errs_of(cfg):
+        res = detect_grid(img, cfg)
+        det_idx = np.asarray(res.grid.idx)
+        det_xy = np.asarray(res.grid.xy)
+        det_valid = np.asarray(res.grid.valid)
+        errs = [
+            np.linalg.norm(det_xy[i] - gt[tuple(det_idx[i])])
+            for i in range(len(det_valid))
+            if det_valid[i] and tuple(det_idx[i]) in gt
+        ]
+        return np.asarray(errs), det_valid.sum()
+
+    e0, n0 = errs_of(base)
+    e1, n1 = errs_of(refined)
+    assert n1 >= n0 - 4
+    assert np.median(e1) < np.median(e0) + 0.3
