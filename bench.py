@@ -41,8 +41,10 @@ def main() -> None:
     from __graft_entry__ import _example_pair
 
     height, width = 480, 640
-    batch = 4
-    stereo, (i1, i2) = _example_pair(height, width, n_frames=batch)
+    batch = 16
+    stereo, (i1, i2) = _example_pair(height, width, n_frames=4)
+    i1 = np.tile(i1, (batch // 4, 1, 1))
+    i2 = np.tile(i2, (batch // 4, 1, 1))
     d1 = jax.device_put(jnp.asarray(i1))
     d2 = jax.device_put(jnp.asarray(i2))
     jax.block_until_ready((d1, d2))

@@ -57,3 +57,53 @@ def test_triangulate_masked_entries_do_not_nan():
     scene = cylinder_grid_points(stereo, capacity=128)
     res = triangulate(scene.gp1.xy, scene.gp2.xy, stereo, valid=scene.valid)
     assert np.all(np.isfinite(np.asarray(res.points3)))
+
+
+def test_f32_reprojection_rmse_parity_vs_f64():
+    """BASELINE.md budget: reprojection RMSE delta vs a float64 CPU reference
+    must be <= 1e-3 px.  Measured delta is ~3e-7 px (K-normalized DLT)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        import jax.numpy as jnp
+        import numpy as np
+        from cylinder_pose_estimation_tpu.utils.synthetic import (
+            default_stereo, cylinder_grid_points)
+        from cylinder_pose_estimation_tpu.geometry.triangulate import triangulate
+
+        stereo64 = default_stereo(dtype=jnp.float64)
+        scene = cylinder_grid_points(
+            stereo64, capacity=128, origin=(0.0, -40.0, 560.0), radius=70.0,
+            row_spacing=18.0, theta_span=2.0, noise_px=0.3, seed=3,
+            dtype=jnp.float64)
+        v = np.asarray(scene.valid)
+
+        def rmse(tri):
+            e = np.asarray(tri.reproj_error, np.float64)[v]
+            return float(np.sqrt(np.mean(e * e)))
+
+        r64 = rmse(triangulate(scene.gp1.xy, scene.gp2.xy, stereo64,
+                               valid=scene.valid))
+        to32 = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, t)
+        r32 = rmse(triangulate(to32(scene.gp1).xy, to32(scene.gp2).xy,
+                               to32(stereo64), valid=scene.valid))
+        delta = abs(r64 - r32)
+        assert delta <= 1e-3, delta
+        print("OK", delta)
+        """
+    )
+    # x64 mode is process-global; run isolated.
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": ""},
+    )
+    assert "OK" in out.stdout, out.stdout + out.stderr
