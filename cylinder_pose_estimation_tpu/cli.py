@@ -145,6 +145,7 @@ def cmd_experiment(args) -> None:
     )
     from cylinder_pose_estimation_tpu.models.pipeline import (
         estimate_poses_batch,
+        preprocess_stereo_batch,
         register_sequence,
     )
     from cylinder_pose_estimation_tpu.ops.remap import undistort_image
@@ -174,8 +175,14 @@ def cmd_experiment(args) -> None:
 
     @jax.jit
     def run(a, b, angs):
-        a = jax.vmap(lambda x: undistort_image(x, stereo.cam1))(a)
-        b = jax.vmap(lambda x: undistort_image(x, stereo.cam2))(b)
+        if args.no_clahe:
+            # undistort-only (skip the reference's adapthisteq equalization)
+            a = jax.vmap(lambda x: undistort_image(x, stereo.cam1))(a)
+            b = jax.vmap(lambda x: undistort_image(x, stereo.cam2))(b)
+        else:
+            # full stereo preprocessing (ref utils/preProcessing.m:4-21):
+            # undistort + adaptive histogram equalization, both views
+            a, b = preprocess_stereo_batch(a, b, stereo)
         batch = estimate_poses_batch(a, b, stereo, cfg, fit_cfg)
         reg = register_sequence(batch, angs, reg_cfg)
         return batch, reg
@@ -254,6 +261,11 @@ def main(argv=None) -> None:
     e.add_argument("--input", required=True)
     e.add_argument("--output", default=None)
     e.add_argument("--radius", type=float, default=45.0)
+    e.add_argument(
+        "--no-clahe",
+        action="store_true",
+        help="skip adaptive histogram equalization (ref preProcessing.m does it)",
+    )
     e.set_defaults(fn=cmd_experiment)
 
     args = p.parse_args(argv)

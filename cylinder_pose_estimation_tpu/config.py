@@ -61,7 +61,6 @@ class DetectConfig:
     # --- line bridging (ref utils/util_cylinder.py:78-237) -----------------
     bridge_repeats: int = 1      # expands_line_roi(mask, 1, ...) ref :2022
     endpoint_probe_len: int = 9  # our endpoint detector's directional probe
-    n_angle_bins: int = 1        # per-orientation dilation bins (1 = global)
     bridge_skip_long: bool = True  # don't expand near-full-length segments
     bridge_long_frac: float = 0.8  # "long" = extent > frac * max extent
                                    # (ref utils/util_cylinder.py:169 gate)
@@ -80,8 +79,29 @@ class DetectConfig:
 
     # --- indexing (ref utils/util_cylinder.py:1350-1571) -------------------
     index_blur_ksize: int = 7    # Gaussian (7,7) before brightness scan
-    patch_div: float = 5.0       # half-size = circle_radius0/5 (ref :1377)
-    patch_half_min: int = 3      # min half-size (ref :1379)
+    patch_half_min: int = 3      # brightness patch half-size (ref :1379 min).
+                                 # Deliberate redesign: the reference sizes the
+                                 # patch adaptively (circle_radius0/5, ref
+                                 # :1377), but a traced patch size breaks
+                                 # static shapes under jit and the center blob
+                                 # is far brighter than other joints, so the
+                                 # static minimum patch picks the same argmax.
+
+    # --- result gating ------------------------------------------------------
+    # Minimum accepted intersections for DetectResult.ok.  The downstream
+    # cylinder fit needs >= FitConfig.knn_k well-spread points for its
+    # curvature seeding (ref utils/estCurvatures.m:6 K=20); fewer points would
+    # run the LM chain on garbage with ok=True.
+    min_ok_points: int = 20
+
+    # --- plane-path short-column merge (ref utils/util_plane.py:449-557) ----
+    # Merge consecutive "abnormal" short columns (span <= 0.9 * max span)
+    # while their cumulative span stays <= the max span, then refit.  ON the
+    # reference's main plane path (called from fit_and_draw_polynomial at
+    # ref utils/util_plane.py:2828); not part of the cylinder path.
+    merge_short_cols: bool = False
+    merge_margin: float = 10.0   # +-10 px domain pad in the stored span
+                                 # (ref utils/util_plane.py:455-457)
 
     # --- dtype ---------------------------------------------------------------
     # image compute dtype ("float32" or "bfloat16" for the filter front-end)
@@ -118,8 +138,6 @@ class CylinderDetectConfig(DetectConfig):
     """
 
     poly_degree: int = 2
-    clahe_clip: float = 4.5          # ref :1845 clipLimit
-    clahe_tiles: int = 4             # tileGridSize (4,4)
     bridge_kernel_base: int = 91     # kernel = 91 + circle_radius0 (ref :2022)
     bridge_min_len: float = 5.0      # contour size gates (ref :169)
     bridge_max_len: float = 200.0
@@ -127,7 +145,11 @@ class CylinderDetectConfig(DetectConfig):
     drop_last_col: bool = True
     drop_negative_cols: bool = True  # remove_minus_labels (ref :1657-1669)
     id_row_major: bool = False       # id = (col_idx, row_idx) (ref :1497)
-    roi_blob_expand: int = 4         # blob radius +4 px (ref :1877)
+    # NOTE deliberate redesign: the reference's CLAHE(clipLimit 4.5, 4x4) +
+    # SimpleBlobDetector ROI (ref :1830-1899) is replaced by the line-density
+    # ROI in models/detector._roi_cylinder, so no CLAHE/blob constants exist
+    # here.  Experiment-level adapthisteq equalization (ref preProcessing.m)
+    # lives in ops/clahe.preprocess_stereo and is wired via the CLI/pipeline.
 
     @property
     def mode(self) -> str:
@@ -156,6 +178,8 @@ class PlaneDetectConfig(DetectConfig):
     id_row_major: bool = True        # id = (row_idx, col_idx)
     bridge_skip_long: bool = False   # plane path always expands
                                      # (ref utils/util_plane.py:78-137 diff)
+    merge_short_cols: bool = True    # abnormal short-column merge is on the
+                                     # plane main path (ref utils/util_plane.py:2828)
 
     @property
     def mode(self) -> str:

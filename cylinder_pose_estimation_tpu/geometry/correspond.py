@@ -18,7 +18,10 @@ Replaces the reference's dict/loop machinery with a dense grid-index raster:
         1. triangulate ALL index-matched pairs once (batched DLT);
         2. patch mean error = depthwise box-sum of the per-cell error over
            the raster, divided by patchSize^2, valid only where all cells of
-           the patch are occupied in both views;
+           the patch are occupied in both views; the raster is first
+           compacted to view-1's unique present index values per axis so a
+           wholly-missing row/col is bridged, exactly like the reference's
+           unique()-based sliding (ref utils/chooseIdx.m:23-35);
         3. a point is selected iff >= 1 covering patch passes the threshold
            = a box-max (dilation) of the patch-pass indicator.
 
@@ -152,13 +155,31 @@ def choose_idx(
     err = tri.reproj_error.reshape(extent, extent)
     err = jnp.where(both, err, 0.0)
 
-    occ_count = _box_sum(both.astype(jnp.float32), patch_size)
-    err_sum = _box_sum(err, patch_size)
+    # The reference slides patches over the *unique present* index values of
+    # view 1 per axis (ref utils/chooseIdx.m:23-35, unique(gp1(:,3))/(:,4)),
+    # so a wholly-missing grid row/column is bridged rather than breaking
+    # every patch that spans it.  Reproduce that by compacting occupied
+    # view-1 rows/cols to the front (stable permutation), box-summing on the
+    # compacted raster, and scattering the selection back.
+    row_present = jnp.any(o1, axis=1)
+    col_present = jnp.any(o1, axis=0)
+    perm_r = jnp.argsort(~row_present, stable=True)
+    perm_c = jnp.argsort(~col_present, stable=True)
+    both_c = both[perm_r][:, perm_c]
+    err_c = err[perm_r][:, perm_c]
+
+    occ_count = _box_sum(both_c.astype(jnp.float32), patch_size)
+    err_sum = _box_sum(err_c, patch_size)
     full = occ_count >= patch_size * patch_size - 0.5
     mean_err = err_sum / (patch_size * patch_size)
     patch_ok = full & (mean_err < error_threshold)
 
-    selected = _anchor_max(patch_ok, patch_size, extent) & both
+    selected_c = _anchor_max(patch_ok, patch_size, extent) & both_c
+    selected = (
+        jnp.zeros((extent, extent), bool)
+        .at[perm_r[:, None], perm_c[None, :]]
+        .set(selected_c)
+    ) & both
     any_selected = jnp.any(selected)
     final = jnp.where(any_selected, selected, both)
 

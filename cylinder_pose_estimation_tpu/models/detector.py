@@ -103,19 +103,72 @@ def _to_gray(image: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def _joint_centroids(
-    joints: jnp.ndarray, cfg: DetectConfig
+    joints: jnp.ndarray, cfg: DetectConfig, window: int = 11,
+    peak_iters: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Component centroids of the joints mask (ref extract_joints contours).
+    """Joint-blob centroids via per-blob peak extraction, no labeling needed.
 
-    Returns int-truncated float centroids (the reference casts int(M10/M00))
-    and a validity mask, capacity cfg.max_points.
+    Joint blobs (the AND of the h/v line openings) are tiny (<~9 px across).
+    Each blob is identified by the unique pixel whose (box-count,
+    linear-index) key is maximal WITHIN ITS 8-CONNECTED BLOB: the blob max
+    is computed by ``peak_iters`` rounds of masked 3x3 max propagation
+    (masking after each full 3x3 pass makes this exact 8-connected
+    propagation -- a diagonal neighbor inside the window is by definition
+    8-adjacent).  A fixed-window non-max suppression is NOT used: it
+    suppresses whole blobs when the grid spacing is below the window
+    (measured 14/68 joints lost at ~12 px spacing).  The blob centroid is
+    the box centroid around the peak, matching the reference's
+    int-truncated contour-moment centroids (ref extract_joints
+    utils/util_cylinder.py:1818-1827) while avoiding a connected-components
+    pass plus a (H*W, max_points) one-hot reduction -- the two most
+    expensive ops of the round-1 formulation.
+
+    ``peak_iters`` bounds the blob graph-radius (8 covers blobs up to
+    ~17 px across; blobs are the AND of two <=9 px line masks).
+
+    Returns (centroids (P, 2) float, valid (P,)) with P = cfg.max_points.
     """
-    labels = _cc(joints, 8, cfg, frac=0.4)
-    stats = labeling.component_stats_first_k(
-        labels, k=cfg.max_points, compute_bbox=False
+    h, w = joints.shape
+    hw = h * w
+    f = joints.astype(jnp.float32)
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    cnt = box_filter(f, window, mode="constant", normalize=False)
+    sx = box_filter(f * xx, window, mode="constant", normalize=False)
+    sy = box_filter(f * yy, window, mode="constant", normalize=False)
+    lin = (jnp.arange(hw, dtype=jnp.int32)).reshape(h, w)
+    # Unique per-pixel key: count-dominant, linear-index tie-break.
+    key = cnt.astype(jnp.int32) * (1 << 19) + lin
+    neg = jnp.iinfo(jnp.int32).min
+    km = jnp.where(joints, key, neg)
+    for _ in range(peak_iters):
+        km = jax.lax.reduce_window(km, neg, jax.lax.max, (3, 1), (1, 1), "SAME")
+        km = jax.lax.reduce_window(km, neg, jax.lax.max, (1, 3), (1, 1), "SAME")
+        km = jnp.where(joints, km, neg)
+    peak = joints & (key == km)
+    c = jnp.maximum(cnt, 1.0)
+    cx = jnp.floor(sx / c)
+    cy = jnp.floor(sy / c)
+    # Compact peak positions via a 4x4 block-reduce before the (costly)
+    # nonzero: distinct blobs' peaks sit near their blob centers, so two
+    # peaks share a 4x4 block only when two blob centers are < 4 px apart
+    # -- below any workable grid spacing -- and each block holds at most
+    # one peak, reducing the nonzero from H*W to H*W/16 elements.
+    pk = jnp.where(peak, lin, -1)
+    ph = (-h) % 4
+    pw = (-w) % 4
+    if ph or pw:
+        pk = jnp.pad(pk, ((0, ph), (0, pw)), constant_values=-1)
+    blk = jax.lax.reduce_window(
+        pk, jnp.int32(-1), jax.lax.max, (4, 4), (4, 4), "VALID"
+    ).reshape(-1)
+    nb = blk.shape[0]
+    bidx, valid = labeling.compact_true_indices(blk >= 0, cfg.max_points)
+    lin_idx = jnp.where(valid, blk[jnp.clip(bidx, 0, nb - 1)], 0)
+    cents = jnp.stack(
+        [cx.reshape(-1)[lin_idx], cy.reshape(-1)[lin_idx]], axis=-1
     )
-    cents = jnp.floor(stats.centroid)
-    return cents, stats.valid
+    return jnp.where(valid[:, None], cents, 0.0), valid
 
 
 def _largest_component_lowres(mask: jnp.ndarray, cfg: DetectConfig) -> jnp.ndarray:
@@ -130,7 +183,8 @@ def _largest_component_lowres(mask: jnp.ndarray, cfg: DetectConfig) -> jnp.ndarr
     small = jax.lax.reduce_window(
         mask.astype(jnp.float32), -jnp.inf, jax.lax.max, (4, 4), (4, 4), "VALID"
     ) > 0.5
-    labels = labeling.connected_components(small, iters=cfg.cc_iters)
+    # Dilated ROI blobs at 1/4 res are compact: 8 pool+scan rounds converge.
+    labels = labeling.connected_components(small, iters=min(cfg.cc_iters, 8))
     largest = labeling.largest_component_mask(labels)
     return jnp.repeat(jnp.repeat(largest, 4, axis=0), 4, axis=1)[:h, :w]
 
@@ -211,23 +265,39 @@ def _saturation_carve(
     sat: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Carve the saturated (specular) blob out of the line masks
-    (ref mask_roi_around_center utils/util_cylinder.py:1944-2007)."""
+    (ref mask_roi_around_center utils/util_cylinder.py:1944-2007).
+
+    The blob's centroid/circumradius are measured at quarter resolution:
+    specular blobs survive a 19x19 Gaussian + threshold-240, so they are
+    tens of pixels across, and the measurements feed only heuristic carve
+    sizes (+20/+5 radius pads, ellipse semi-axes, bridge kernel length) where
+    ~2 px of quantization is immaterial -- while full-resolution labeling +
+    stats cost ~3 ms/frame on v5e."""
     if sat is None:
         blurred = gaussian_blur_cv(gray, cfg.sat_blur_ksize)
         sat = blurred > cfg.sat_threshold
-    labels = _cc(sat, 8, cfg, frac=0.4)
-    stats = labeling.component_stats_first_k(labels, k=16)
+    hgt, wdt = gray.shape
+    small = jax.lax.reduce_window(
+        sat.astype(jnp.float32), -jnp.inf, jax.lax.max, (4, 4), (4, 4), "VALID"
+    ) > 0.5
+    labels = labeling.connected_components(small, iters=8)
+    stats = labeling.component_stats_first_k(labels, k=16, compute_bbox=False)
     li = jnp.argmax(stats.count)  # largest saturated blob
     has = stats.valid[li]
-    cx, cy = stats.centroid[li, 0], stats.centroid[li, 1]
-    # Circumscribing radius: max distance from the centroid to blob pixels.
-    hgt, wdt = gray.shape
+    # lowres block (i, j) covers full-res [4i, 4i+4) x [4j, 4j+4).
+    cx = 4.0 * stats.centroid[li, 0] + 1.5
+    cy = 4.0 * stats.centroid[li, 1] + 1.5
+    # Circumscribing radius: max distance from the centroid to blob blocks
+    # (+2.2 px block half-diagonal so the lowres estimate still circumscribes).
+    sh, sw = small.shape
+    yy_s = 4.0 * jnp.arange(sh, dtype=jnp.float32)[:, None] + 1.5
+    xx_s = 4.0 * jnp.arange(sw, dtype=jnp.float32)[None, :] + 1.5
+    blob = labels == stats.root[li]
+    dist_s = jnp.sqrt((xx_s - cx) ** 2 + (yy_s - cy) ** 2) + 2.2
+    radius0 = jnp.where(has, jnp.max(jnp.where(blob, dist_s, 0.0)), 0.0)
+    r0i = jnp.floor(radius0)
     yy = jnp.arange(hgt, dtype=jnp.float32)[:, None]
     xx = jnp.arange(wdt, dtype=jnp.float32)[None, :]
-    blob = labels == stats.root[li]
-    dist = jnp.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
-    radius0 = jnp.where(has, jnp.max(jnp.where(blob, dist, 0.0)), 0.0)
-    r0i = jnp.floor(radius0)
     # ref :1979-1983: small blobs get +20, large +5
     radius = jnp.where(r0i < 30, r0i + 20.0, r0i + 5.0)
     # ellipse axes (ref :1986-1991): semi-x (r+40)/2, semi-y (r+20)/2
@@ -242,6 +312,62 @@ def _saturation_carve(
     return mh, mv, r0i
 
 
+def _bridge_angle_exp(
+    out: jnp.ndarray, labels: jnp.ndarray, base_angle: float, cfg: DetectConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Median component orientation + per-pixel expandability gate for one
+    line mask (the label-statistics half of the bridge; the morphology half
+    lives in _bridge / bridge_morphology).
+
+    The reference takes the median of per-contour PCA angles
+    (ref expand_line_roi utils/util_cylinder.py:78-135) and skips contours
+    whose extent exceeds bridge_long_frac * max extent on the cylinder path
+    (ref :169) -- unbroken full-length lines stay untouched, so tightly
+    spaced neighbors cannot be bridged into one label.
+
+    base_angle pins the orientation branch (0 rows, pi/2 cols)."""
+    hgt, wdt = out.shape
+    hw = hgt * wdt
+    stats = labeling.component_stats_first_k(
+        labels, k=_MAX_COMPONENTS, min_area=4, compute_bbox=False
+    )
+    ang = labeling.component_orientation(stats)
+    # wrap into (base - pi/2, base + pi/2]
+    ang = ang - base_angle
+    ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
+    ang = jnp.where(ang > jnp.pi / 2, ang - jnp.pi, ang)
+    ang = jnp.where(ang <= -jnp.pi / 2, ang + jnp.pi, ang)
+    # Segment extent from second moments: a uniform segment of length L has
+    # variance L^2/12 along its axis, so L = sqrt(12 * lambda_max).  This is
+    # the reference's own measure (per-contour PCA endpoint length, ref
+    # get_pca_endpoints utils/util_cylinder.py:35-55) and avoids the four
+    # (H*W, K) masked bbox reductions (measured 6.3 -> ~1.5 ms/frame).
+    half_tr = 0.5 * (stats.mxx + stats.myy)
+    half_df = 0.5 * (stats.mxx - stats.myy)
+    lam_max = half_tr + jnp.sqrt(half_df * half_df + stats.mxy * stats.mxy)
+    diag = jnp.sqrt(12.0 * jnp.maximum(lam_max, 0.0))
+    gate_med = stats.valid & (diag >= cfg.bridge_min_len) & (
+        diag <= cfg.bridge_max_len
+    )
+    med = jnp.nanmedian(jnp.where(gate_med, ang, jnp.nan))
+    angle = jnp.where(jnp.isnan(med), 0.0, med) + base_angle
+
+    # Per-pixel expansion gate: short (broken) segments only.  The gate map
+    # is built by comparing the label image against the K expandable roots
+    # ((HW, K) compare + any): a scatter-into-table + HW gather costs
+    # ~3.5 ms/frame on v5e, the compare form ~0.25 ms.
+    if cfg.bridge_skip_long:
+        max_diag = jnp.max(jnp.where(stats.valid, diag, 0.0))
+        expandable = stats.valid & (diag <= cfg.bridge_long_frac * max_diag)
+        hit = (labels.reshape(-1)[:, None] == stats.root[None, :]) & (
+            expandable[None, :]
+        )
+        exp_img = jnp.any(hit, axis=-1).reshape(hgt, wdt)
+    else:
+        exp_img = out
+    return angle, exp_img
+
+
 def _bridge(
     mask: jnp.ndarray,
     base_angle: float,
@@ -249,55 +375,17 @@ def _bridge(
     max_kernel_len: int,
     cfg: DetectConfig,
 ) -> jnp.ndarray:
-    """Bridge broken line segments along their direction
+    """Bridge broken line segments along their direction -- XLA path
     (ref expands_line_roi utils/util_cylinder.py:137-237).
 
-    Per repeat: label components, take the *median* component orientation
-    (ref expand_line_roi takes the median of per-contour PCA angles), detect
-    endpoints (mask pixels whose directional probe is empty), and dilate them
-    with an oriented line kernel of traced length; 3x3 erosion follows, as in
-    the reference (ref :186-189).
-
-    The reference's crucial merge guard is preserved: components whose extent
-    exceeds bridge_long_frac * max extent are NOT expanded on the cylinder
-    path (ref :169) -- unbroken full-length lines stay untouched, so tightly
-    spaced neighbors cannot be bridged into one label.
-
-    base_angle pins the orientation branch (0 rows, pi/2 cols)."""
-    hgt, wdt = mask.shape
-    hw = hgt * wdt
+    Per repeat: label components, take the *median* component orientation,
+    detect endpoints (mask pixels whose directional probe is empty), and
+    dilate them with an oriented line kernel of traced length; 3x3 erosion
+    follows, as in the reference (ref :186-189)."""
     out = mask
     for _ in range(cfg.bridge_repeats):
         labels = _cc(out, cfg.cc_iters // 2, cfg, frac=1.0)
-        stats = labeling.component_stats_first_k(
-            labels, k=_MAX_COMPONENTS, min_area=4
-        )
-        ang = labeling.component_orientation(stats)
-        # wrap into (base - pi/2, base + pi/2]
-        ang = ang - base_angle
-        ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
-        ang = jnp.where(ang > jnp.pi / 2, ang - jnp.pi, ang)
-        ang = jnp.where(ang <= -jnp.pi / 2, ang + jnp.pi, ang)
-        diag = jnp.linalg.norm(
-            (stats.bbox[:, 2:4] - stats.bbox[:, 0:2]).astype(jnp.float32), axis=-1
-        )
-        gate_med = stats.valid & (diag >= cfg.bridge_min_len) & (
-            diag <= cfg.bridge_max_len
-        )
-        med = jnp.nanmedian(jnp.where(gate_med, ang, jnp.nan))
-        angle = jnp.where(jnp.isnan(med), 0.0, med) + base_angle
-
-        # Per-pixel expansion gate: short (broken) segments only.
-        if cfg.bridge_skip_long:
-            max_diag = jnp.max(jnp.where(stats.valid, diag, 0.0))
-            expandable = stats.valid & (diag <= cfg.bridge_long_frac * max_diag)
-            exp_full = (
-                jnp.zeros((hw + 1,), bool).at[stats.root].set(expandable)
-            )
-            exp_img = exp_full[labels]
-        else:
-            exp_img = out
-
+        angle, exp_img = _bridge_angle_exp(out, labels, base_angle, cfg)
         fwd = morphology.directional_count(out, angle, cfg.endpoint_probe_len, +1)
         bwd = morphology.directional_count(out, angle, cfg.endpoint_probe_len, -1)
         endpoints = out & exp_img & ((fwd <= 1.0) | (bwd <= 1.0))
@@ -305,6 +393,52 @@ def _bridge(
         grown = morphology.dilate_rect(grown, 3, 3)  # give the line thickness
         out = out | (morphology.erode_rect(out | grown, 3, 3) & grown)
     return out
+
+
+def _bridge_pair(
+    mh: jnp.ndarray,
+    mv: jnp.ndarray,
+    kernel_len: jnp.ndarray,
+    max_kernel_len: int,
+    cfg: DetectConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bridge the h/v line-mask pair.
+
+    Pallas path: one batched CC launch for both masks, then ONE fused VMEM
+    bridge-morphology kernel (probes + oriented dilation + 3x3 open) for the
+    pair -- replacing ~40 HBM-bound XLA shift passes per mask.  XLA path:
+    the portable per-mask _bridge."""
+    if not cfg.use_pallas:
+        return (
+            _bridge(mh, 0.0, kernel_len, max_kernel_len, cfg),
+            _bridge(mv, jnp.pi / 2, kernel_len, max_kernel_len, cfg),
+        )
+    from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
+        bridge_morphology,
+        connected_components as cc_pallas,
+    )
+
+    masks = jnp.stack([mh, mv])
+    rounds = max(6, int(cfg.pallas_cc_rounds))
+    for _ in range(cfg.bridge_repeats):
+        labels = cc_pallas(
+            masks, rounds=rounds, interpret=cfg.pallas_interpret
+        )
+        angle_h, exp_h = _bridge_angle_exp(masks[0], labels[0], 0.0, cfg)
+        angle_v, exp_v = _bridge_angle_exp(
+            masks[1], labels[1], jnp.pi / 2, cfg
+        )
+        bridged = bridge_morphology(
+            masks.astype(jnp.float32),
+            jnp.stack([exp_h, exp_v]).astype(jnp.float32),
+            jnp.stack([angle_h, angle_v]),
+            jnp.asarray(kernel_len, jnp.float32),
+            probe_len=cfg.endpoint_probe_len,
+            max_kernel=max_kernel_len,
+            interpret=cfg.pallas_interpret,
+        )
+        masks = bridged > 0.5
+    return masks[0], masks[1]
 
 
 def _assign_labels(
@@ -323,7 +457,22 @@ def _assign_labels(
             best = jnp.minimum(best, label_img[yi + dy, xi + dx])
     assigned = cvalid & (best < hw)
     roots = jnp.where(assigned, best, hw)
-    slot_roots = jnp.unique(roots, size=capacity, fill_value=hw)
+    # Slot retention is by member count (centroids on the component), not
+    # scan order: with more components than capacity, small clutter fragments
+    # must not evict true grid lines.  Unique roots + counts via sort.
+    p = roots.shape[0]
+    sr = jnp.sort(roots)
+    pos = jnp.arange(p, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sr[1:] != sr[:-1]]) & (
+        sr < hw
+    )
+    starts = jnp.sort(jnp.where(is_start, pos, p))
+    ends = jnp.concatenate([starts[1:], jnp.asarray([p], starts.dtype)])
+    n_assigned = jnp.sum((sr < hw).astype(jnp.int32))
+    count = jnp.clip(jnp.minimum(ends, n_assigned) - starts, 0, p)
+    uroot = jnp.where(starts < p, sr[jnp.clip(starts, 0, p - 1)], hw)
+    keep = jnp.argsort(-count)[:capacity]
+    slot_roots = jnp.sort(jnp.where(count[keep] > 0, uroot[keep], hw))
     slot_valid = slot_roots < hw
     slot_of = jnp.searchsorted(slot_roots, roots)
     slot_of = jnp.clip(slot_of, 0, capacity - 1)
@@ -357,6 +506,55 @@ def _fit_label_polys(
     count = jnp.sum(w, axis=-1)
     valid = count >= degree + 1
     return coeffs, domain, valid, count
+
+
+def _label_mean(
+    vals: jnp.ndarray, slot_of: jnp.ndarray, ok: jnp.ndarray, capacity: int
+) -> jnp.ndarray:
+    """Per-label masked mean of a per-centroid value."""
+    onehot = (slot_of[None, :] == jnp.arange(capacity)[:, None]) & ok[None, :]
+    cnt = jnp.maximum(jnp.sum(onehot, axis=-1), 1)
+    return jnp.sum(jnp.where(onehot, vals[None, :], 0.0), axis=-1) / cnt
+
+
+def _merge_short_column_leaders(
+    span: jnp.ndarray,
+    mean_x: jnp.ndarray,
+    valid: jnp.ndarray,
+    capacity: int,
+) -> jnp.ndarray:
+    """Group leaders for the plane path's abnormal-short-column merge
+    (ref utils/util_plane.py:449-557).
+
+    The reference flags columns whose y span is <= 0.9x the maximum span as
+    "abnormal", walks columns in label (x) order, and greedily merges runs of
+    consecutive abnormal columns while the group's cumulative span stays
+    <= the maximum span; a normal column closes the group.  Dense version:
+    one lax.scan over x-sorted slots emitting each slot's group-leader slot.
+    Returns leader[slot] (identity for normal/unmerged/invalid slots).
+    """
+    threshold = jnp.max(jnp.where(valid, span, 0.0))
+    abnormal = valid & (span <= 0.9 * threshold)
+    order = jnp.argsort(jnp.where(valid, mean_x, jnp.inf))
+
+    def step(carry, slot):
+        cum, leader, has_group = carry
+        s = span[slot]
+        v = valid[slot]
+        ab = abnormal[slot]
+        fits = has_group & (cum + s <= threshold)
+        new_leader = jnp.where(fits, leader, slot)
+        new_cum = jnp.where(fits, cum + s, s)
+        emit = jnp.where(v & ab, new_leader, slot)
+        # Invalid slots pass through without touching the open group.
+        carry_cum = jnp.where(v, jnp.where(ab, new_cum, 0.0), cum)
+        carry_leader = jnp.where(v, jnp.where(ab, new_leader, leader), leader)
+        carry_has = jnp.where(v, ab, has_group)
+        return (carry_cum, carry_leader, carry_has), emit
+
+    init = (jnp.asarray(0.0, span.dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    _, emits = jax.lax.scan(step, init, order.astype(jnp.int32))
+    return jnp.zeros((capacity,), jnp.int32).at[order].set(emits)
 
 
 def _rank_by(key: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -452,12 +650,23 @@ def detect_grid(
     # 6a. bridge lines
     kernel_len = jnp.asarray(cfg.bridge_kernel_base, jnp.float32) + circle_radius0
     max_kernel = cfg.bridge_kernel_base + 160
-    h_exp = _bridge(mh, 0.0, kernel_len, max_kernel, cfg)
-    v_exp = _bridge(mv, jnp.pi / 2, kernel_len, max_kernel, cfg)
+    h_exp, v_exp = _bridge_pair(mh, mv, kernel_len, max_kernel, cfg)
 
-    # 6b. label rows/cols and assign centroids
-    h_labels = _cc(h_exp, cfg.cc_iters, cfg)
-    v_labels = _cc(v_exp, cfg.cc_iters, cfg)
+    # 6b. label rows/cols and assign centroids (one batched launch on Pallas)
+    if cfg.use_pallas:
+        from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
+            connected_components as cc_pallas,
+        )
+
+        hv_labels = cc_pallas(
+            jnp.stack([h_exp, v_exp]),
+            rounds=max(6, int(cfg.pallas_cc_rounds)),
+            interpret=cfg.pallas_interpret,
+        )
+        h_labels, v_labels = hv_labels[0], hv_labels[1]
+    else:
+        h_labels = _cc(h_exp, cfg.cc_iters, cfg)
+        v_labels = _cc(v_exp, cfg.cc_iters, cfg)
     row_of, row_ok, _ = _assign_labels(h_labels, cents, inside, cfg.max_rows)
     col_of, col_ok, _ = _assign_labels(v_labels, cents, inside, cfg.max_cols)
 
@@ -468,6 +677,26 @@ def detect_grid(
     col_coeffs, col_dom, col_valid, _ = _fit_label_polys(
         cents, col_of, col_ok, cfg.max_cols, cfg.poly_degree, cfg.domain_margin, True
     )
+
+    # 6c''. plane-path short-column merge (ref utils/util_plane.py:449-557):
+    # fragments of one physical column that failed to bridge show up as
+    # several short labels; merge consecutive short labels and refit so the
+    # integer column indices (and hence stereo correspondences) stay correct.
+    if getattr(cfg, "merge_short_cols", False):
+        span = jnp.where(
+            col_valid,
+            (col_dom[:, 1] - col_dom[:, 0])
+            - 2.0 * cfg.domain_margin
+            + 2.0 * cfg.merge_margin,
+            0.0,
+        )
+        mean_x = _label_mean(cents[:, 0], col_of, col_ok, cfg.max_cols)
+        leader = _merge_short_column_leaders(span, mean_x, col_valid, cfg.max_cols)
+        col_of = leader[col_of]
+        col_coeffs, col_dom, col_valid, _ = _fit_label_polys(
+            cents, col_of, col_ok, cfg.max_cols, cfg.poly_degree,
+            cfg.domain_margin, True,
+        )
 
     # 6c'. optional subpixel refinement of the fitted curves toward the
     # grayscale center of gravity (the reference ships this but keeps it off
@@ -569,7 +798,10 @@ def detect_grid(
             [xi[c_r, c_c], yi[c_r, c_c]]
         ),
     )
-    ok = jnp.sum(accept) >= 4
+    # Fit feasibility: the downstream curvature-seeded fit needs ~knn_k
+    # well-spread points (ref utils/estCurvatures.m:6); 4 points would run LM
+    # on garbage with ok=True.
+    ok = jnp.sum(accept) >= cfg.min_ok_points
     result = DetectResult(
         grid=grid, ok=ok, roi_bbox=bbox, circle_radius0=circle_radius0
     )

@@ -42,6 +42,25 @@ class StereoPoseResult(NamedTuple):
     fit: CylinderFitResult
 
 
+def preprocess_stereo_batch(
+    images1: jnp.ndarray,
+    images2: jnp.ndarray,
+    stereo: StereoParams,
+    tiles: int = 8,
+    clip_limit: float = 0.01,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched stereo preprocessing: undistort + adaptive histogram
+    equalization for both views (ref utils/preProcessing.m:4-21, MATLAB
+    adapthisteq defaults 8x8 tiles / 0.01 clip)."""
+    from cylinder_pose_estimation_tpu.ops.clahe import preprocess_stereo
+
+    return jax.vmap(
+        lambda a, b: preprocess_stereo(
+            a, b, stereo.cam1, stereo.cam2, tiles=tiles, clip_limit=clip_limit
+        )
+    )(images1, images2)
+
+
 def estimate_pose_stereo(
     image1: jnp.ndarray,
     image2: jnp.ndarray,
@@ -93,9 +112,17 @@ def full_experiment(
     detect_cfg: DetectConfig,
     fit_cfg: FitConfig = FitConfig(),
     reg_cfg: RegistrationConfig = RegistrationConfig(),
+    preprocess: bool = False,
 ) -> Tuple[StereoPoseResult, RegistrationResult]:
     """The whole exp_gridDetection.m equivalent as one jittable function:
-    F stereo pairs + pan/tilt angles -> per-frame poses + T_Cam_AGV."""
+    F stereo pairs + pan/tilt angles -> per-frame poses + T_Cam_AGV.
+
+    ``preprocess=True`` runs the reference's stereo preprocessing first
+    (undistort + adapthisteq, ref utils/preProcessing.m:4-21); pass False for
+    images that are already undistorted/equalized.
+    """
+    if preprocess:
+        images1, images2 = preprocess_stereo_batch(images1, images2, stereo)
     batch = estimate_poses_batch(images1, images2, stereo, detect_cfg, fit_cfg)
     reg = register_sequence(batch, angles, reg_cfg)
     return batch, reg

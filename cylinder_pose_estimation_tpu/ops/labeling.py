@@ -185,6 +185,35 @@ def component_stats(labels: jnp.ndarray, k: int, min_area: int = 1) -> Component
     )
 
 
+def compact_true_indices(mask: jnp.ndarray, k: int):
+    """First-k indices of True entries of a 1-D bool mask.
+
+    Cumsum-rank + one-hot MXU projection; ``jnp.nonzero(size=k)`` lowers to
+    an n-sized scatter, which is pathological on TPU (~3 ms at n = 307k).
+    Returns (idx (k,) int32, valid (k,)); invalid slots hold n.
+    """
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    sel = (mask[:, None] & (pos[:, None] == jnp.arange(k)[None, :])).astype(
+        jnp.float32
+    )
+    payload = jnp.stack(
+        [jnp.arange(n, dtype=jnp.float32), jnp.ones((n,), jnp.float32)], -1
+    )
+    picked = jax.lax.dot_general(
+        sel, payload,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # HIGHEST is mandatory: the payload carries exact linear indices up
+        # to H*W (~19 bits); the TPU MXU's DEFAULT f32 path multiplies in
+        # bf16 (8-bit mantissa) and was measured to corrupt 40/48 slots at
+        # 480x640.  HIGHEST costs the same here (bandwidth-bound one-hot).
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    valid = picked[:, 1] > 0.5
+    return jnp.where(valid, picked[:, 0].astype(jnp.int32), n), valid
+
+
 def component_stats_first_k(
     labels: jnp.ndarray, k: int, min_area: int = 1, compute_bbox: bool = True
 ) -> ComponentStats:
@@ -194,8 +223,9 @@ def component_stats_first_k(
     per call on v5e for 480x640).  This variant instead:
 
       1. finds component roots (pixels whose label equals their own linear
-         index) and takes the FIRST K in scan order via a fixed-size nonzero
-         -- cumsum machinery, no sort;
+         index) and takes the FIRST K in scan order via cumsum-rank one-hot
+         compaction on the MXU (jnp.nonzero's scatter formulation costs
+         ~2.9 ms/frame on v5e; this is ~0.5 ms);
       2. reduces per-component sums with one (K, HW) one-hot matmul on the
          MXU and bbox min/max with masked reductions over the same one-hot.
 
@@ -210,8 +240,25 @@ def component_stats_first_k(
     flat = labels.reshape(-1)
     lin = jnp.arange(hw, dtype=jnp.int32)
     is_root = (flat == lin) & (flat < hw)
-    (root_idx,) = jnp.nonzero(is_root, size=k, fill_value=hw)
-    root_k = jnp.where(root_idx < hw, flat[jnp.clip(root_idx, 0, hw - 1)], hw)
+    # First-K compaction: rank roots by cumsum, then project the root values
+    # out with a one-hot matmul (root linear indices are < 2^24, exact in
+    # f32).  Avoids jnp.nonzero's HW-sized scatter.
+    pos = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    sel = (is_root[:, None] & (pos[:, None] == jnp.arange(k)[None, :])).astype(
+        jnp.float32
+    )  # (HW, k)
+    picked = jax.lax.dot_general(
+        sel,
+        jnp.stack([flat.astype(jnp.float32), jnp.ones((hw,), jnp.float32)], -1),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # HIGHEST is mandatory (see compact_true_indices): DEFAULT multiplies
+        # in bf16 on the MXU and corrupts the exact root indices.
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (k, 2): [root value, occupancy]
+    root_k = jnp.where(
+        picked[:, 1] > 0.5, picked[:, 0].astype(jnp.int32), hw
+    )
 
     onehot = (flat[:, None] == root_k[None, :]) & (root_k[None, :] < hw)
     xs = (lin % w).astype(jnp.float32)
@@ -223,6 +270,9 @@ def component_stats_first_k(
         payload,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST: coordinate payloads (x, x^2 up to ~2^19) exceed bf16's
+        # 8-bit mantissa; DEFAULT would quantize centroids by +-2 px on TPU.
+        precision=jax.lax.Precision.HIGHEST,
     )  # (k, 6)
 
     cnt = sums[:, 0]
@@ -259,10 +309,17 @@ def component_stats_first_k(
     )
 
 
-def largest_component_mask(labels: jnp.ndarray) -> jnp.ndarray:
-    """Bool mask of the largest foreground component (cv2 'max contour')."""
-    stats = component_stats(labels, k=1)
-    return labels == stats.root[0]
+def largest_component_mask(labels: jnp.ndarray, k: int = 128) -> jnp.ndarray:
+    """Bool mask of the largest foreground component (cv2 'max contour').
+
+    Uses the sort-free first-k stats (one-hot MXU reduction) + argmax over
+    counts; correct as long as the image has <= k components (the ROI call
+    sites label quarter-resolution dilated masks with a handful of blobs).
+    The 4-sort ``component_stats`` formulation costs ~2 ms at 480x640.
+    """
+    stats = component_stats_first_k(labels, k=k, compute_bbox=False)
+    li = jnp.argmax(stats.count)
+    return labels == stats.root[li]
 
 
 def component_orientation(stats: ComponentStats) -> jnp.ndarray:

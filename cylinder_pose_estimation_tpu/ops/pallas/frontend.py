@@ -140,13 +140,25 @@ def _preprocess_kernel(
     g0 = gray_ref[:]
     h, w = g0.shape
 
+    # Border margin ring (computed up front; applied to every mask output so
+    # circular-roll wrap-around can never leak content across image edges --
+    # the bright_* images keep a wrap band, documented in the caller).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside_f = (
+        jnp.where(rows >= margin, 1.0, 0.0)
+        * jnp.where(rows < h - margin, 1.0, 0.0)
+        * jnp.where(cols >= margin, 1.0, 0.0)
+        * jnp.where(cols < w - margin, 1.0, 0.0)
+    )
+
     # Side outputs from the raw gray (all fused into this one VMEM pass):
     # saturation mask (Gaussian 19 -> threshold, ref utils/util_cylinder.py:
     # 1962-1967), center-seed brightness (box 11 mean, ref :1914-1917) and
     # indexing brightness (Gaussian 7 -> box mean, ref :1377-1449).
     sat = _sep_conv_roll(g0, k19, 1)
     sat = _sep_conv_roll(sat, k19, 0)
-    sat_ref[:] = jnp.where(sat > sat_threshold, 1.0, 0.0)
+    sat_ref[:] = jnp.where(sat > sat_threshold, 1.0, 0.0) * inside_f
 
     bc = _box_sum_roll(g0, center_patch, 1)
     bc = _box_sum_roll(bc, center_patch, 0)
@@ -200,14 +212,6 @@ def _preprocess_kernel(
         bf = bf * jnp.where(minima < -min_contrast, 1.0, 0.0)
 
     # Border margin: roll wrap + constant-pad reference artifacts both die here.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inside_f = (
-        jnp.where(rows >= margin, 1.0, 0.0)
-        * jnp.where(rows < h - margin, 1.0, 0.0)
-        * jnp.where(cols >= margin, 1.0, 0.0)
-        * jnp.where(cols < w - margin, 1.0, 0.0)
-    )
     bf = bf * inside_f
 
     # Morphological openings with 1x20 / 20x1 lines (erode then dilate).
@@ -294,6 +298,161 @@ def preprocess_binarize(
     return tuple(outs)
 
 
+def _dshift(x: jnp.ndarray, dy, dx, fill: float = 0.0) -> jnp.ndarray:
+    """Shift a 2D float array by *traced* integer offsets, filling vacated
+    cells with ``fill`` (the in-kernel counterpart of morphology.shift2d).
+
+    Positive dy shifts content down, positive dx right.  Uses the dynamic
+    form of pltpu.roll (tpu.DynamicRotate) plus an iota wrap mask.
+    """
+    h, w = x.shape
+    dy = jnp.asarray(dy, jnp.int32)
+    dx = jnp.asarray(dx, jnp.int32)
+    sy = jax.lax.rem(dy, h)
+    sy = sy + jnp.where(sy < 0, h, 0)
+    sx = jax.lax.rem(dx, w)
+    sx = sx + jnp.where(sx < 0, w, 0)
+    y = pltpu.roll(pltpu.roll(x, sy, 0), sx, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # Valid range is [max(dy, 0), h + min(dy, 0)); since for dy >= 0 the
+    # upper bound never binds and for dy < 0 the lower bound never binds,
+    # one AND expresses both cases -- avoiding an i1-vector select, which
+    # Mosaic cannot legalize.
+    row_ok = (rows >= dy) & (rows < h + dy)
+    col_ok = (cols >= dx) & (cols < w + dx)
+    return jnp.where(row_ok & col_ok, y, jnp.asarray(fill, x.dtype))
+
+
+def _bridge_kernel(
+    par_ref,
+    mask_ref,
+    exp_ref,
+    out_ref,
+    *,
+    probe_len: int,
+    max_kernel: int,
+):
+    """One bridge-morphology pass for one mask (grid program = one mask).
+
+    VMEM-resident equivalent of the XLA traced-shift chain in
+    models/detector._bridge (ref expands_line_roi utils/util_cylinder.py:
+    137-237): directional endpoint probes -> oriented log-doubling line
+    dilation of the endpoints -> 3x3 dilation -> 3x3 erosion combine.  The
+    XLA version costs ~8 ms/frame in HBM round-trips; here every shift stays
+    on-chip.
+
+    Per-mask scalars (angle, kernel length) arrive in a per-program VMEM
+    params tile rather than SMEM: SMEM block specs do not survive jax.vmap's
+    pallas batching rule, and detect_grid is always vmapped over frames.
+    """
+    angle = par_ref[0, 0, 0]
+    klen = par_ref[0, 0, 1]
+    m = mask_ref[0]
+    expf = exp_ref[0]
+    ca = jnp.cos(angle)
+    sa = jnp.sin(angle)
+
+    # Endpoint detection: pixels whose forward or backward ray is empty
+    # (<= 1 hit = just themselves at i=0 excluded; matches
+    # morphology.directional_count + the <=1 gate in detector._bridge).
+    fwd = jnp.zeros_like(m)
+    bwd = jnp.zeros_like(m)
+    for k in range(1, probe_len + 1):
+        dy = jnp.round(sa * k).astype(jnp.int32)
+        dx = jnp.round(ca * k).astype(jnp.int32)
+        fwd = fwd + _dshift(m, -dy, -dx)
+        bwd = bwd + _dshift(m, dy, dx)
+    is_end = jnp.where((fwd <= 1.0) | (bwd <= 1.0), 1.0, 0.0)
+    out = m * expf * is_end
+
+    # Oriented line dilation, logarithmic doubling with a traced effective
+    # length (mirrors morphology.dilate_line exactly).
+    half = max(max_kernel // 2, 1)
+    dyn_half = jnp.clip(klen / 2.0, 0.0, float(half))
+    stride, covered = 1, 0
+    dyn_covered = jnp.asarray(0.0, jnp.float32)
+    while covered < half:
+        step = min(stride, half - covered)
+        eff = jnp.clip(dyn_half - dyn_covered, 0.0, float(step))
+        dy = jnp.round(sa * eff).astype(jnp.int32)
+        dx = jnp.round(ca * eff).astype(jnp.int32)
+        out = jnp.maximum(
+            out, jnp.maximum(_dshift(out, dy, dx), _dshift(out, -dy, -dx))
+        )
+        covered += step
+        dyn_covered = dyn_covered + eff
+        stride *= 2
+
+    # grown = dilate_rect(out, 3, 3) (separable 3-tap max; border fill 0
+    # matches reduce_window's -inf init on 0/1 masks).
+    g1 = jnp.maximum(out, jnp.maximum(_dshift(out, 0, 1), _dshift(out, 0, -1)))
+    grown = jnp.maximum(g1, jnp.maximum(_dshift(g1, 1, 0), _dshift(g1, -1, 0)))
+
+    # out | (erode_rect(out | grown, 3, 3) & grown): erosion border fill 1.0
+    # matches reduce_window's +inf init (out-of-image ignored).
+    u = jnp.maximum(m, grown)
+    e1 = jnp.minimum(
+        u, jnp.minimum(_dshift(u, 0, 1, 1.0), _dshift(u, 0, -1, 1.0))
+    )
+    er = jnp.minimum(
+        e1, jnp.minimum(_dshift(e1, 1, 0, 1.0), _dshift(e1, -1, 0, 1.0))
+    )
+    out_ref[0] = jnp.maximum(m, er * grown)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("probe_len", "max_kernel", "interpret")
+)
+def bridge_morphology(
+    masks: jnp.ndarray,
+    exp_imgs: jnp.ndarray,
+    angles: jnp.ndarray,
+    kernel_len: jnp.ndarray,
+    probe_len: int,
+    max_kernel: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused bridge morphology over a batch of masks (one grid program each).
+
+    masks, exp_imgs: (B, H, W) float 0/1; angles: (B,) radians; kernel_len:
+    () traced effective line-kernel length (<= max_kernel).  Returns the
+    bridged (B, H, W) float masks.  The h/v mask pair of one image runs as a
+    B=2 call: one kernel launch instead of ~40 HBM-bound XLA ops per mask.
+    """
+    b, h, w = masks.shape
+    # Pack per-mask scalars into an (b, 8, 128) VMEM tile (see kernel doc).
+    par = (
+        jnp.zeros((b, 8, 128), jnp.float32)
+        .at[:, 0, 0].set(angles.astype(jnp.float32))
+        .at[:, 0, 1].set(jnp.broadcast_to(kernel_len, (b,)).astype(jnp.float32))
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _bridge_kernel, probe_len=probe_len, max_kernel=max_kernel
+        ),
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        par,
+        masks.astype(jnp.float32),
+        exp_imgs.astype(jnp.float32),
+    )
+    return out
+
+
 def _seg_min_scan_roll(lab, maskf, axis, n):
     """Segmented min-scan along ``axis`` via Hillis-Steele doubling.
 
@@ -319,8 +478,22 @@ def _seg_min_scan_roll(lab, maskf, axis, n):
 
 
 def _cc_kernel(mask_ref, labels_ref, *, rounds: int, pools_per_round: int):
-    h, w = mask_ref.shape
-    maskf = mask_ref[:]
+    h, w = mask_ref.shape[-2:]
+    maskf = mask_ref[0] if mask_ref.ndim == 3 else mask_ref[:]
+    # Zero a 1-px border ring: rolls wrap circularly, and bridged masks
+    # (dilate_line can grow endpoints ~100+ px, past the preprocess margin)
+    # must never merge labels across opposite image edges.  One border row or
+    # column of background fully blocks both the 3x3 pools and the segmented
+    # scans (their in-mask window product hits the zero ring).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ring = (
+        jnp.where(rows >= 1, 1.0, 0.0)
+        * jnp.where(rows < h - 1, 1.0, 0.0)
+        * jnp.where(cols >= 1, 1.0, 0.0)
+        * jnp.where(cols < w - 1, 1.0, 0.0)
+    )
+    maskf = maskf * ring
     mask = maskf > 0.5
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
@@ -346,7 +519,10 @@ def _cc_kernel(mask_ref, labels_ref, *, rounds: int, pools_per_round: int):
         return lab
 
     lab = jax.lax.fori_loop(0, rounds, body, lab0)
-    labels_ref[:] = lab
+    if labels_ref.ndim == 3:
+        labels_ref[0] = lab
+    else:
+        labels_ref[:] = lab
 
 
 @functools.partial(
@@ -367,22 +543,34 @@ def connected_components(
     O(direction changes) rounds -- ~10 covers the laser-grid geometry.
 
     ``iters`` (legacy pool-count budget) maps to rounds = iters / 48, at
-    least 6.  Wrap-around across borders is prevented by the caller's border
-    margin (preprocess_binarize zeroes a margin ring).
+    least 6.  A 1-px background ring is forced inside the kernel so circular
+    rolls can never merge labels across opposite image edges.
+
+    mask may be (H, W) or (B, H, W); the batched form labels each image in
+    its own grid program (labels are per-image linear indices), one kernel
+    launch for e.g. the h/v line-mask pair.
     """
     if iters is not None:
         rounds = max(6, iters // 48)
-    h, w = mask.shape
+    squeeze = mask.ndim == 2
+    if squeeze:
+        mask = mask[None]
+    b, h, w = mask.shape
     out = pl.pallas_call(
         functools.partial(
             _cc_kernel, rounds=rounds, pools_per_round=pools_per_round
         ),
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(mask.astype(jnp.float32))
-    return out
+    return out[0] if squeeze else out

@@ -43,11 +43,20 @@ class StereoParams(NamedTuple):
     the reference's T_C2_C1 = stereoParams.PoseCamera2.A usage
     (ref utils/getCamParams.m:9, exp_gridDetection.m:93: drawCylinder with
     T_C2_C1 * cylT in view 2).
+
+    The optional calibration-session artifacts mirror the rest of
+    getCamParams' outputs (ref utils/getCamParams.m:11-21): per-pattern
+    camera<-pattern extrinsics and the pattern's world points.  They are not
+    consumed by the experiment chain; ``None`` (the default) keeps the pytree
+    free of dummy leaves.
     """
 
     cam1: CameraModel
     cam2: CameraModel
     t_c2_c1: jnp.ndarray    # (4, 4)
+    t_c1_patterns: jnp.ndarray | None = None  # (P, 4, 4) T_C1_P per pattern
+    t_c2_patterns: jnp.ndarray | None = None  # (P, 4, 4)
+    calib_points: jnp.ndarray | None = None   # (N, 2) checkerboard WorldPoints
 
 
 class GridPoints(NamedTuple):

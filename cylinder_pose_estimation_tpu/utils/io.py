@@ -30,10 +30,21 @@ from cylinder_pose_estimation_tpu.types import CameraModel, GridPoints, StereoPa
 
 
 def camera_from_dict(d: Dict) -> CameraModel:
-    """Build intrinsics from one camera's JSON dict (ref utils/iotool.py:12-19)."""
-    fx, fy = d["FocalLength"]
-    cx, cy = d["PrincipalPoint"]
-    k = jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], jnp.float32)
+    """Build intrinsics from one camera's JSON dict.
+
+    The reference wire format carries the full 3x3 ``IntrinsicMatrix``
+    (written standard-row-major by ref utils/createCameraDataJSON.m:7-12 --
+    note the MATLAB transpose -- and read by ref utils/iotool.py:33); older
+    variants carry FocalLength/PrincipalPoint pairs.  Accept both.
+    """
+    if "IntrinsicMatrix" in d:
+        k = jnp.asarray(np.asarray(d["IntrinsicMatrix"], np.float32))
+    else:
+        fx, fy = d["FocalLength"]
+        cx, cy = d["PrincipalPoint"]
+        k = jnp.array(
+            [[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], jnp.float32
+        )
     radial = np.zeros(3, np.float32)
     rd = np.asarray(d.get("RadialDistortion", []), np.float32).ravel()
     radial[: rd.shape[0]] = rd[:3]
@@ -65,7 +76,20 @@ def load_stereo_json(path: str) -> StereoParams:
     t = jnp.asarray(
         np.asarray(data.get("PoseCamera2", np.eye(4).tolist()), np.float32)
     )
-    return StereoParams(cam1=cam1, cam2=cam2, t_c2_c1=t)
+
+    def opt(key):
+        v = data.get(key)
+        return None if v is None else jnp.asarray(np.asarray(v, np.float32))
+
+    return StereoParams(
+        cam1=cam1,
+        cam2=cam2,
+        t_c2_c1=t,
+        # Calibration-session artifacts (ref utils/getCamParams.m:11-21).
+        t_c1_patterns=opt("PatternExtrinsics1"),
+        t_c2_patterns=opt("PatternExtrinsics2"),
+        calib_points=opt("WorldPoints"),
+    )
 
 
 def save_stereo_json(path: str, stereo: StereoParams) -> None:
@@ -74,6 +98,9 @@ def save_stereo_json(path: str, stereo: StereoParams) -> None:
     def cam_dict(cam: CameraModel) -> Dict:
         k = np.asarray(cam.k)
         return {
+            # The reference wire field (ref utils/createCameraDataJSON.m:7-12)
+            "IntrinsicMatrix": k.tolist(),
+            # Friendly duplicates kept for older readers.
             "FocalLength": [float(k[0, 0]), float(k[1, 1])],
             "PrincipalPoint": [float(k[0, 2]), float(k[1, 2])],
             "RadialDistortion": np.asarray(cam.radial).tolist(),
@@ -86,6 +113,13 @@ def save_stereo_json(path: str, stereo: StereoParams) -> None:
         "RightCamera": cam_dict(stereo.cam2),
         "PoseCamera2": np.asarray(stereo.t_c2_c1).tolist(),
     }
+    for key, val in (
+        ("PatternExtrinsics1", stereo.t_c1_patterns),
+        ("PatternExtrinsics2", stereo.t_c2_patterns),
+        ("WorldPoints", stereo.calib_points),
+    ):
+        if val is not None:
+            data[key] = np.asarray(val).tolist()
     with open(path, "w") as f:
         json.dump(data, f, indent=2)
 

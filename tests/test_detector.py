@@ -4,7 +4,12 @@ Ground truth comes from utils/synthetic: known cylinder pose -> projected grid
 -> rendered image.  The detector must recover the grid points (pixel accuracy)
 and their center-relative integer indices (exactly), mirroring SURVEY.md §4's
 golden-strategy: synthesize from the geometry the reference itself defines.
+
+Most tests run at 240x320 (CPU-friendly; every code path is resolution
+independent); one full-resolution 480x640 end-to-end test is marked `slow`.
 """
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -12,7 +17,7 @@ import numpy as np
 import pytest
 
 from cylinder_pose_estimation_tpu.config import CylinderDetectConfig, PlaneDetectConfig
-from cylinder_pose_estimation_tpu.models.detector import detect_grid
+from tests._util import run_detect as detect_grid
 from cylinder_pose_estimation_tpu.utils.synthetic import (
     cylinder_grid_points,
     default_stereo,
@@ -20,24 +25,26 @@ from cylinder_pose_estimation_tpu.utils.synthetic import (
     render_grid_image,
 )
 
-H, W = 480, 640
+H, W = 240, 320
 N_ROWS = N_COLS = 9
 
 
-def _cylinder_image(noise=2.0, seed=0, saturate=False):
-    stereo = default_stereo()
+def _cylinder_image(noise=2.0, seed=0, saturate=False, h=H, w=W):
+    stereo = default_stereo(cx=w / 2.0, cy=h / 2.0)
+    scale = h / 240.0  # scene fills the same frame fraction at any res
     scene = cylinder_grid_points(
         stereo, capacity=128, n_rows=N_ROWS, n_cols=N_COLS,
-        origin=(0.0, -40.0, 560.0), radius=70.0, row_spacing=18.0, theta_span=2.0,
+        origin=(0.0, -15.0 * scale, 560.0), radius=52.0 * scale,
+        row_spacing=12.0 * scale, theta_span=2.2,
     )
     img = render_grid_image(
-        scene.gp1.xy, scene.gp1.valid, N_ROWS, N_COLS, H, W,
+        scene.gp1.xy, scene.gp1.valid, N_ROWS, N_COLS, h, w,
         saturate_center=saturate,
     )
     if noise > 0:
         rng = np.random.default_rng(seed)
         img = jnp.clip(
-            img.astype(jnp.float32) + jnp.asarray(rng.normal(0, noise, (H, W)), jnp.float32),
+            img.astype(jnp.float32) + jnp.asarray(rng.normal(0, noise, (h, w)), jnp.float32),
             0, 255,
         )
     return scene, img
@@ -50,22 +57,14 @@ def _gt_map(gp, n):
     return {tuple(idx[i]): xy[i] for i in range(n)}
 
 
-def test_cylinder_detection_recovers_grid():
-    scene, img = _cylinder_image()
-    cfg = CylinderDetectConfig(height=H, width=W)
-    res = detect_grid(img, cfg)
-    assert bool(res.ok)
-
+def _check_detection(scene, res, min_points):
     det_idx = np.asarray(res.grid.idx)
     det_xy = np.asarray(res.grid.xy)
     det_valid = np.asarray(res.grid.valid)
     gt = _gt_map(scene.gp1, N_ROWS * N_COLS)
 
     n_det = det_valid.sum()
-    # cylinder path drops first row, last col and negative cols:
-    # 9x9 grid, center at (4,4) -> cols 0..4 (5) minus last col, rows 8 ->
-    # at least half the positive quadrant must survive.
-    assert n_det >= 20
+    assert n_det >= min_points
 
     matched = 0
     errs = []
@@ -82,6 +81,27 @@ def test_cylinder_detection_recovers_grid():
     assert errs.max() < 4.0, f"max err {errs.max()}"
 
 
+def test_cylinder_detection_recovers_grid():
+    scene, img = _cylinder_image()
+    cfg = CylinderDetectConfig(height=H, width=W)
+    res = detect_grid(img, cfg)
+    assert bool(res.ok)
+    # cylinder path drops first row, last col and negative cols: 9x9 grid,
+    # center (4,4) -> >= 8 rows x 4 cols survive.
+    _check_detection(scene, res, min_points=20)
+
+
+@pytest.mark.slow
+def test_cylinder_detection_full_resolution():
+    """Full 480x640 end-to-end (the round-1 default size, kept as the one
+    full-res regression; everything else runs at 240x320 for suite speed)."""
+    scene, img = _cylinder_image(h=480, w=640)
+    cfg = CylinderDetectConfig(height=480, width=640)
+    res = detect_grid(img, cfg)
+    assert bool(res.ok)
+    _check_detection(scene, res, min_points=20)
+
+
 def test_cylinder_detection_drops_negative_cols():
     scene, img = _cylinder_image()
     cfg = CylinderDetectConfig(height=H, width=W)
@@ -91,8 +111,8 @@ def test_cylinder_detection_drops_negative_cols():
 
 
 def test_plane_detection_recovers_grid():
-    stereo = default_stereo()
-    scene = plane_grid_points(stereo, capacity=256, n_rows=9, n_cols=9, spacing=42.0)
+    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0)
+    scene = plane_grid_points(stereo, capacity=256, n_rows=9, n_cols=9, spacing=23.0)
     img = render_grid_image(scene.gp1.xy, scene.gp1.valid, 9, 9, H, W)
     rng = np.random.default_rng(3)
     img = jnp.clip(
@@ -142,8 +162,6 @@ def test_detection_survives_blank_image():
 def test_detection_with_subpixel_refinement():
     """Subpixel refinement (off in the reference main path) must not degrade
     detection and should keep median error at least as good."""
-    import dataclasses
-
     scene, img = _cylinder_image()
     base = CylinderDetectConfig(height=H, width=W)
     refined = dataclasses.replace(base, subpixel_refine=True)

@@ -1,0 +1,314 @@
+"""Detection hardening: label-capacity overflow, short-column merge, clutter
+ROI, low-contrast equalization, and patch consensus across missing rows.
+
+These are the real-image failure modes VERDICT round 1 flagged: each test
+renders a scene that breaks the naive behavior and asserts the hardened path
+survives (ref anchors cited per test).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from cylinder_pose_estimation_tpu.config import (
+    CylinderDetectConfig,
+    PlaneDetectConfig,
+)
+from cylinder_pose_estimation_tpu.models.detector import (
+    _assign_labels,
+    _merge_short_column_leaders,
+)
+from tests._util import run_detect as detect_grid
+from cylinder_pose_estimation_tpu.utils.synthetic import (
+    cylinder_grid_points,
+    default_stereo,
+    plane_grid_points,
+    render_grid_image,
+)
+
+H, W = 240, 320
+
+
+def _small_stereo():
+    return default_stereo(cx=W / 2.0, cy=H / 2.0)
+
+
+# ---------------------------------------------------------------------------
+# _assign_labels: slot retention must be by member count, not scan order
+# ---------------------------------------------------------------------------
+
+
+def test_assign_labels_overflow_keeps_largest():
+    """With more components than capacity, the slots must keep the components
+    with the most centroids (true grid lines), not the first in scan order
+    (which would favor top-left clutter specks)."""
+    h, w = 32, 64
+    n_strips = 10
+    label_img = np.full((h, w), h * w, np.int32)
+    cents, big_strip = [], set()
+    for i in range(n_strips):
+        x0 = i * 6
+        root = 0 * w + x0  # root = linear index of the strip's first pixel
+        label_img[:, x0 : x0 + 4] = root
+        n_c = 6 if i >= 8 else 1  # strips 8, 9 carry 6 centroids; others 1
+        if n_c > 1:
+            big_strip.add(i)
+        for j in range(n_c):
+            cents.append((x0 + 1, 3 + 2 * j, i))
+    xy = jnp.asarray([[c[0], c[1]] for c in cents], jnp.float32)
+    valid = jnp.ones((len(cents),), bool)
+
+    slot_of, ok, slot_valid = _assign_labels(
+        jnp.asarray(label_img), xy, valid, capacity=4
+    )
+    ok = np.asarray(ok)
+    slot_of = np.asarray(slot_of)
+    # Every centroid of the two 6-member strips must keep a slot.
+    for k, (_, _, strip) in enumerate(cents):
+        if strip in big_strip:
+            assert ok[k], f"centroid of large strip {strip} was evicted"
+    # The two big strips occupy exactly two distinct slots.
+    big_slots = {slot_of[k] for k, c in enumerate(cents) if c[2] in big_strip}
+    assert len(big_slots) == 2
+    assert int(np.asarray(slot_valid).sum()) == 4
+
+
+# ---------------------------------------------------------------------------
+# short-column merge (ref utils/util_plane.py:449-557)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_reference(span, mean_x, valid):
+    """Literal port of the reference's greedy grouping (ref :449-557):
+    walk columns in x order; consecutive abnormal columns merge while the
+    cumulative span stays <= the max span; normal columns close the group."""
+    order = [i for i in np.argsort(np.where(valid, mean_x, np.inf)) if valid[i]]
+    thr = max((span[i] for i in order), default=0.0)
+    leader = list(range(len(span)))
+    cur, cum = None, 0.0
+    for i in order:
+        if span[i] <= 0.9 * thr:
+            if cur is not None and cum + span[i] <= thr:
+                leader[i] = cur
+                cum += span[i]
+            else:
+                cur, cum = i, span[i]
+        else:
+            cur, cum = None, 0.0
+    return leader
+
+
+def test_merge_short_column_leaders_matches_greedy():
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        cap = 12
+        valid = rng.random(cap) > 0.3
+        span = np.where(valid, rng.uniform(20.0, 200.0, cap), 0.0)
+        mean_x = rng.uniform(0.0, 300.0, cap)
+        got = np.asarray(
+            _merge_short_column_leaders(
+                jnp.asarray(span, jnp.float32),
+                jnp.asarray(mean_x, jnp.float32),
+                jnp.asarray(valid),
+                cap,
+            )
+        )
+        want = _greedy_reference(span, mean_x, valid)
+        for i in range(cap):
+            if valid[i]:
+                assert got[i] == want[i], (
+                    f"trial {trial} slot {i}: got {got[i]} want {want[i]}\n"
+                    f"span={span}\nmean_x={mean_x}\nvalid={valid}"
+                )
+
+
+def _plane_scene_and_image(n_rows=7, n_cols=7):
+    stereo = _small_stereo()
+    scene = plane_grid_points(
+        stereo, origin=(0.0, 0.0, 700.0), n_rows=n_rows, n_cols=n_cols,
+        spacing=23.5, capacity=128,
+    )
+    img = render_grid_image(
+        scene.gp1.xy, scene.gp1.valid, n_rows, n_cols, H, W
+    ).astype(jnp.float32)
+    return scene, img
+
+
+def test_plane_fragmented_column_merges_to_single_index():
+    """A column broken into two fragments (bridging disabled) must yield the
+    same single column index as the unbroken image via the short-column merge
+    (ref utils/util_plane.py:449-557, on the main plane path via :2828)."""
+    n_rows = n_cols = 7
+    scene, img = _plane_scene_and_image(n_rows, n_cols)
+    # Erase a band across column j between rows r and r+1 (only the column
+    # curve passes there), splitting its line mask into two components.
+    j, r = 2, 3
+    pts = np.asarray(scene.gp1.xy)[: n_rows * n_cols].reshape(n_rows, n_cols, 2)
+    mid = 0.5 * (pts[r, j] + pts[r + 1, j])
+    x0, y0 = int(mid[0]), int(mid[1])
+    broken = np.asarray(img).copy()
+    broken[y0 - 7 : y0 + 7, x0 - 5 : x0 + 5] = 18.0
+    broken = jnp.asarray(broken)
+
+    base = PlaneDetectConfig(
+        height=H, width=W, roi_threshold=30.0, bridge_repeats=0
+    )
+    gt = {
+        tuple(np.asarray(scene.gp1.idx)[i]): np.asarray(scene.gp1.xy)[i]
+        for i in range(n_rows * n_cols)
+    }
+
+    def detect_ids(image, cfg):
+        res = detect_grid(image, cfg)
+        v = np.asarray(res.grid.valid)
+        ids = np.asarray(res.grid.idx)[v]
+        return {tuple(i) for i in ids}, res
+
+    ids_merge, res_merge = detect_ids(broken, base)
+    assert bool(res_merge.ok)
+    # All ids must be ground-truth grid ids: the fragments were re-merged so
+    # no spurious extra column shifted the integer indices.
+    assert ids_merge <= set(gt.keys()), sorted(ids_merge - set(gt.keys()))
+    assert len(ids_merge) >= 30
+
+    # Sanity: without the merge the fragments create an extra column whose
+    # rank shifts every index to its right -- ids leave the ground truth set.
+    no_merge = dataclasses.replace(base, merge_short_cols=False)
+    ids_plain, _ = detect_ids(broken, no_merge)
+    assert not (ids_plain <= set(gt.keys())), (
+        "test is vacuous: fragmentation did not corrupt indices"
+    )
+
+
+# ---------------------------------------------------------------------------
+# clutter ROI (redesigned stand-in for ref utils/util_cylinder.py:1830-1899)
+# ---------------------------------------------------------------------------
+
+
+def test_cylinder_roi_rejects_background_clutter():
+    """Background laser-like clutter far from the cylinder must not hijack
+    the line-density ROI: detection still recovers only true grid ids."""
+    stereo = _small_stereo()
+    n = 9
+    scene = cylinder_grid_points(
+        stereo, capacity=128, n_rows=n, n_cols=n,
+        origin=(10.0, -15.0, 560.0), radius=52.0, row_spacing=12.0,
+        theta_span=2.2,
+    )
+    img = render_grid_image(
+        scene.gp1.xy, scene.gp1.valid, n, n, H, W
+    ).astype(jnp.float32)
+    # Clutter: a small bright 2x2 mini-grid in the top-left corner (crossing
+    # segments => it even produces joints), well outside the grid region.
+    corner = jnp.asarray(
+        [[8.0, 8.0], [50.0, 10.0], [10.0, 36.0], [52.0, 38.0]], jnp.float32
+    )
+    clutter = render_grid_image(
+        corner, jnp.ones((4,), bool), 2, 2, H, W, background=0.0,
+        center_gain=0.0,
+    ).astype(jnp.float32)
+    noisy = jnp.maximum(img, clutter)
+
+    cfg = CylinderDetectConfig(height=H, width=W)
+    res = detect_grid(noisy, cfg)
+    assert bool(res.ok)
+    v = np.asarray(res.grid.valid)
+    ids = np.asarray(res.grid.idx)[v]
+    xy = np.asarray(res.grid.xy)[v]
+    gt = {
+        tuple(np.asarray(scene.gp1.idx)[i]): np.asarray(scene.gp1.xy)[i]
+        for i in range(n * n)
+    }
+    assert len(ids) >= 20
+    errs = []
+    for i in range(len(ids)):
+        key = tuple(ids[i])
+        assert key in gt, f"clutter produced spurious grid id {key}"
+        errs.append(np.linalg.norm(xy[i] - gt[key]))
+    assert np.median(errs) < 2.0
+
+
+# ---------------------------------------------------------------------------
+# CLAHE wiring (ref utils/preProcessing.m:17-18 adapthisteq)
+# ---------------------------------------------------------------------------
+
+
+def test_low_contrast_needs_equalization():
+    """Low-contrast imagery (intensities squashed into [10, 60]) breaks the
+    plane ROI threshold without equalization; the wired preprocess_stereo
+    (undistort + adapthisteq) recovers it (ref utils/preProcessing.m:4-21)."""
+    from cylinder_pose_estimation_tpu.ops.clahe import preprocess_stereo
+
+    stereo = _small_stereo()
+    n = 7
+    scene = plane_grid_points(
+        stereo, origin=(0.0, 0.0, 700.0), n_rows=n, n_cols=n,
+        spacing=23.5, capacity=128,
+    )
+
+    def squash(xy):
+        img = render_grid_image(xy, scene.gp1.valid, n, n, H, W).astype(
+            jnp.float32
+        )
+        return 10.0 + img * (50.0 / 255.0)  # [10, 60]
+
+    img1 = squash(scene.gp1.xy)
+    img2 = squash(scene.gp2.xy)
+    cfg = PlaneDetectConfig(height=H, width=W)  # default threshold 127
+
+    res_raw = detect_grid(img1, cfg)
+    assert not bool(res_raw.ok), "low-contrast image unexpectedly detected"
+
+    # clip_limit 0.5 = strong equalization for severely under-exposed imagery
+    # (MATLAB's default 0.01 redistributes so much clipped mass that the LUT
+    # is nearly identity -- it cannot lift [10, 60] pixels past the ROI's
+    # absolute 127 threshold; the clip limit is a config knob).
+    eq1, eq2 = preprocess_stereo(
+        img1, img2, stereo.cam1, stereo.cam2, clip_limit=0.5
+    )
+    res_eq = detect_grid(eq1, cfg)
+    assert bool(res_eq.ok)
+    assert int(np.asarray(res_eq.grid.valid).sum()) >= 25
+
+
+# ---------------------------------------------------------------------------
+# choose_idx across a wholly-missing grid row (ref utils/chooseIdx.m:23-35)
+# ---------------------------------------------------------------------------
+
+
+def test_choose_idx_bridges_missing_row():
+    """The reference slides patches over unique *present* index values, so a
+    fully missing grid row must not break patch consensus.  With 4 rows and
+    row y=1 removed, contiguous rasters have no complete 3x3 window (fallback
+    fires); the compacted raster keeps consensus alive."""
+    from cylinder_pose_estimation_tpu.geometry.correspond import choose_idx
+
+    stereo = _small_stereo()
+    scene = cylinder_grid_points(
+        stereo, capacity=64, n_rows=4, n_cols=5,
+        origin=(0.0, -20.0, 560.0), radius=52.0, row_spacing=13.0,
+        theta_span=1.8,
+    )
+
+    # Drop the second-smallest row index so the remaining three rows are
+    # non-contiguous ({min, min+2, min+3}): no contiguous 3x3 raster window
+    # exists, only the compacted one.
+    rows_present = sorted(
+        set(np.asarray(scene.gp1.idx)[np.asarray(scene.gp1.valid)][:, 1].tolist())
+    )
+    gap_row = rows_present[1]
+
+    def drop_row(gp, row):
+        keep = ~(gp.valid & (gp.idx[:, 1] == row))
+        return gp._replace(valid=gp.valid & keep)
+
+    gp1 = drop_row(scene.gp1, gap_row)
+    gp2 = drop_row(scene.gp2, gap_row)
+    corr = choose_idx(gp1, gp2, stereo, patch_size=3, error_threshold=0.5,
+                      extent=16)
+    assert not bool(corr.used_fallback), (
+        "patch consensus fell back: missing row was not bridged"
+    )
+    sel_rows = set(np.asarray(corr.idx)[np.asarray(corr.valid)][:, 1].tolist())
+    assert sel_rows == set(rows_present) - {gap_row}

@@ -62,3 +62,57 @@ def test_grid_points_json_accepts_bracket_ids():
     gp = grid_points_from_json(text, capacity=8)
     assert int(np.asarray(gp.valid).sum()) == 1
     assert tuple(np.asarray(gp.idx)[0]) == (2, -3)
+
+
+def test_stereo_json_reference_wire_format_and_extrinsics(tmp_path):
+    """The reference's camera JSON carries IntrinsicMatrix (3x3), written by
+    ref utils/createCameraDataJSON.m:7-12 and read by ref utils/iotool.py:33;
+    the loader must accept it.  Calibration-pattern extrinsics/world points
+    (ref utils/getCamParams.m:11-21) round-trip when present."""
+    import jax.numpy as jnp
+
+    from cylinder_pose_estimation_tpu.utils.io import (
+        load_stereo_json,
+        save_stereo_json,
+    )
+    from cylinder_pose_estimation_tpu.utils.synthetic import default_stereo
+
+    # A reference-style JSON (IntrinsicMatrix only, no FocalLength fields).
+    ref_style = {
+        "LeftCamera": {
+            "IntrinsicMatrix": [[900.0, 0, 320.0], [0, 901.0, 240.0], [0, 0, 1]],
+            "RadialDistortion": [0.1, -0.05],
+            "TangentialDistortion": [0.001, -0.002],
+        },
+        "RightCamera": {
+            "IntrinsicMatrix": [[905.0, 0, 322.0], [0, 906.0, 238.0], [0, 0, 1]],
+            "RadialDistortion": [0.09],
+            "TangentialDistortion": [],
+        },
+    }
+    p = tmp_path / "ref_cam.json"
+    p.write_text(json.dumps(ref_style))
+    stereo = load_stereo_json(str(p))
+    np.testing.assert_allclose(np.asarray(stereo.cam1.k)[0, 0], 900.0)
+    np.testing.assert_allclose(np.asarray(stereo.cam2.k)[1, 2], 238.0)
+    np.testing.assert_allclose(np.asarray(stereo.cam1.radial), [0.1, -0.05, 0.0])
+
+    # Round-trip with calibration artifacts.
+    base = default_stereo()
+    pats = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    pats[:, 0, 3] = [1.0, 2.0, 3.0]
+    full = base._replace(
+        t_c1_patterns=jnp.asarray(pats),
+        t_c2_patterns=jnp.asarray(pats + 0.5),
+        calib_points=jnp.asarray(np.arange(12, dtype=np.float32).reshape(6, 2)),
+    )
+    q = tmp_path / "full_cam.json"
+    save_stereo_json(str(q), full)
+    back = load_stereo_json(str(q))
+    np.testing.assert_allclose(np.asarray(back.t_c1_patterns), pats, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(back.calib_points), np.asarray(full.calib_points), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(back.cam1.k), np.asarray(base.cam1.k), rtol=1e-6
+    )
