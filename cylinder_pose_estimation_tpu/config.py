@@ -113,8 +113,12 @@ class DetectConfig:
     # in-VMEM label propagation).  The XLA path (False) is the portable
     # reference implementation used by CPU tests.
     use_pallas: bool = False
-    pallas_cc_rounds: int = 16   # CC rounds (pools + row/col segmented scans);
-                                 # convergence needs O(direction changes)
+    pallas_cc_rounds: int = 6    # CC rounds (pools + row/col segmented scans);
+                                 # convergence needs O(direction changes) --
+                                 # bridged laser-grid lines are monotone
+                                 # curves, 6 is exact on the bench scenes
+                                 # (A/B parity 32/32) with ~2x margin; each
+                                 # round costs ~0.18 ms/frame/launch on v5e
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
 
     @property

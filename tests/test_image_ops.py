@@ -131,15 +131,18 @@ def test_directional_count_endpoints():
 
 
 def test_connected_components_and_stats():
-    m = jnp.zeros((32, 32), bool)
-    m = m.at[2:6, 2:6].set(True)       # 16 px blob
-    m = m.at[20:22, 20:30].set(True)   # 20 px blob
-    m = m.at[10, 10].set(True)         # 1 px
-    labels = connected_components(m, iters=8)
-    stats = component_stats(labels, k=4)
+    m = np.zeros((32, 32), bool)
+    m[2:6, 2:6] = True       # 16 px blob
+    m[20:22, 20:30] = True   # 20 px blob
+    m[10, 10] = True         # 1 px
+    labels, stats = jax.jit(
+        lambda mm: (lambda l: (l, component_stats(l, k=4)))(
+            connected_components(mm, iters=8)
+        )
+    )(jnp.asarray(m))
     counts = sorted(np.asarray(stats.count)[np.asarray(stats.valid)].tolist(), reverse=True)
     assert counts == [20, 16, 1]
-    big = largest_component_mask(labels)
+    big = jax.jit(largest_component_mask)(labels)
     assert np.asarray(big)[21, 25] and not np.asarray(big)[3, 3]
     # centroid of the square blob
     cent = np.asarray(stats.centroid)
@@ -148,20 +151,22 @@ def test_connected_components_and_stats():
 
 
 def test_connected_components_l_shape():
-    m = jnp.zeros((24, 24), bool)
-    m = m.at[5, 5:20].set(True)
-    m = m.at[5:20, 19].set(True)
-    labels = np.asarray(connected_components(m, iters=4))
+    m = np.zeros((24, 24), bool)
+    m[5, 5:20] = True
+    m[5:20, 19] = True
+    labels = np.asarray(
+        jax.jit(lambda mm: connected_components(mm, iters=4))(jnp.asarray(m))
+    )
     assert labels[5, 5] == labels[19, 19]  # one component despite the bend
 
 
 def test_component_orientation():
-    m = jnp.zeros((32, 32), bool)
+    m = np.zeros((32, 32), bool)
     # diagonal line y = x
-    for i in range(5, 25):
-        m = m.at[i, i].set(True)
-    labels = connected_components(m, iters=8)
-    stats = component_stats(labels, k=1)
+    m[np.arange(5, 25), np.arange(5, 25)] = True
+    stats = jax.jit(
+        lambda mm: component_stats(connected_components(mm, iters=8), k=1)
+    )(jnp.asarray(m))
     ang = float(component_orientation(stats)[0])
     assert abs(np.degrees(ang) - 45.0) < 3.0
 
@@ -181,8 +186,13 @@ def test_binarize_ridges_finds_lines():
     img[:, 40:43] += 150.0
     from cylinder_pose_estimation_tpu.ops.image import gaussian_blur_cv
 
-    blurred = gaussian_blur_cv(jnp.asarray(img), 5)
-    binary = np.asarray(binarize_ridges(blurred, min_contrast=0.05))
+    binary = np.asarray(
+        jax.jit(
+            lambda im: binarize_ridges(
+                gaussian_blur_cv(im, 5), min_contrast=0.05
+            )
+        )(jnp.asarray(img))
+    )
     assert binary[31, 20]
     assert binary[20, 41]
     assert not binary[10, 10]
@@ -196,7 +206,7 @@ def test_binarize_ridges_finds_lines():
 def test_hessian_minima_negative_on_bright_ridge():
     img = np.full((64, 64), 10.0, np.float32)
     img[32, :] = 200.0
-    _, minima = hessian_eigenimages(jnp.asarray(img), 3.0)
+    _, minima = jax.jit(lambda im: hessian_eigenimages(im, 3.0))(jnp.asarray(img))
     m = np.asarray(minima)
     assert m[32, 32] < 0
     assert m[32, 32] < m[10, 10]

@@ -1,5 +1,10 @@
 """Multi-device sharding tests on the 8-device virtual CPU mesh.
 
+The full GSPMD-pipeline equivalence test is marked slow (minutes of CPU
+execution); the fast suite keeps the shard_map-vs-vmap equivalence and the
+driver separately exercises the jit_sharded_pipeline path via
+__graft_entry__.dryrun_multichip.
+
 Exercise the same code paths the driver's dryrun_multichip validates, plus a
 sharded-vs-unsharded equivalence check: data-parallel frame sharding must not
 change results (up to f32 reduction-order noise in the registration).
@@ -8,6 +13,7 @@ change results (up to f32 reduction-order noise in the registration).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cylinder_pose_estimation_tpu.config import (
     CylinderDetectConfig,
@@ -102,6 +108,7 @@ def _assert_fits_equivalent(fit_a, fit_b):
     )
 
 
+@pytest.mark.slow
 def test_sharded_pipeline_matches_unsharded():
     assert jax.device_count() >= N_DEV, "conftest must provide 8 CPU devices"
     stereo = default_stereo(cx=W / 2.0, cy=H / 2.0, baseline=30.0)
@@ -132,6 +139,7 @@ def test_sharded_pipeline_matches_unsharded():
     )
 
 
+@pytest.mark.slow
 def test_shard_map_pose_matches_vmap():
     stereo = default_stereo(cx=W / 2.0, cy=H / 2.0, baseline=30.0)
     i1, i2 = _frames(stereo, N_DEV)
@@ -144,4 +152,50 @@ def test_shard_map_pose_matches_vmap():
     mesh = make_mesh(jax.devices()[:N_DEV])
     fn = shard_map_pose(mesh, stereo, cfg, fit_cfg)
     out = fn(i1, i2).fit
+    _assert_fits_equivalent(out, ref)
+
+
+def test_shard_map_fit_matches_vmap():
+    """Fast multi-device check: the grid-points -> fit stage under an
+    8-device shard_map must match the vmap result bit-for-bit shape-wise and
+    numerically to f32 noise.  The full image pipelines are exercised by the
+    slow tests above and by __graft_entry__.dryrun_multichip each round."""
+    from jax.sharding import PartitionSpec as P
+
+    from cylinder_pose_estimation_tpu.config import FitConfig
+    from cylinder_pose_estimation_tpu.models.pose import fit_single_cylinder
+    from cylinder_pose_estimation_tpu.parallel.mesh import FRAME_AXIS
+    from cylinder_pose_estimation_tpu.utils.synthetic import (
+        cylinder_grid_points,
+        default_stereo,
+    )
+    from cylinder_pose_estimation_tpu.types import GridPoints
+
+    stereo = default_stereo()
+    fit_cfg = FitConfig(cyl_radius=55.0, lm_iters=30)
+    scenes = [
+        cylinder_grid_points(
+            stereo, radius=55.0, origin=(5.0 * k - 15.0, -10.0, 450.0),
+            capacity=128, seed=k, noise_px=0.1,
+        )
+        for k in range(N_DEV)
+    ]
+    gp1 = GridPoints(*[jnp.stack([s.gp1[i] for s in scenes]) for i in range(4)])
+    gp2 = GridPoints(*[jnp.stack([s.gp2[i] for s in scenes]) for i in range(4)])
+
+    def batched(a, b):
+        return jax.vmap(
+            lambda p, q: fit_single_cylinder(p, q, stereo, fit_cfg)
+        )(a, b)
+
+    ref = jax.jit(batched)(gp1, gp2)
+    mesh = make_mesh(jax.devices()[:N_DEV])
+    fn = jax.jit(
+        jax.shard_map(
+            batched, mesh=mesh,
+            in_specs=(P(FRAME_AXIS), P(FRAME_AXIS)),
+            out_specs=P(FRAME_AXIS),
+        )
+    )
+    out = fn(gp1, gp2)
     _assert_fits_equivalent(out, ref)

@@ -88,13 +88,13 @@ def test_f32_reprojection_rmse_parity_vs_f64():
             e = np.asarray(tri.reproj_error, np.float64)[v]
             return float(np.sqrt(np.mean(e * e)))
 
-        r64 = rmse(triangulate(scene.gp1.xy, scene.gp2.xy, stereo64,
-                               valid=scene.valid))
+        jtri = jax.jit(lambda a, b, s: triangulate(a, b, s, valid=scene.valid))
+        r64 = rmse(jtri(scene.gp1.xy, scene.gp2.xy, stereo64))
         to32 = lambda t: jax.tree.map(
             lambda x: x.astype(jnp.float32)
             if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, t)
-        r32 = rmse(triangulate(to32(scene.gp1).xy, to32(scene.gp2).xy,
-                               to32(stereo64), valid=scene.valid))
+        r32 = rmse(jtri(to32(scene.gp1).xy, to32(scene.gp2).xy,
+                        to32(stereo64)))
         delta = abs(r64 - r32)
         assert delta <= 1e-3, delta
         print("OK", delta)

@@ -16,10 +16,17 @@ from cylinder_pose_estimation_tpu.utils.synthetic import (
 )
 
 
+# Half-resolution canvas: the CLI derives the detect config from the image
+# shape, so the driver plumbing is identical to full-res while each CPU
+# detect costs ~4x less (full-res end-to-end coverage lives in
+# test_detector.test_cylinder_detection_full_resolution, marked slow).
+H, W = 240, 320
+
+
 def _scene():
-    stereo = default_stereo()
+    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0)
     return stereo, cylinder_grid_points(
-        stereo, capacity=128, origin=(0.0, -40.0, 560.0), radius=70.0,
+        stereo, capacity=128, origin=(0.0, -15.0, 560.0), radius=70.0,
         row_spacing=18.0, theta_span=2.0,
     )
 
@@ -51,7 +58,7 @@ def test_viz_figures_render(tmp_path):
     )
     viz.plot_fvals(np.asarray([[900.0, 60.0], [800.0, 50.0]]), path=os.path.join(p, "fv.png"))
     viz.plot_cylinders_3d([np.asarray(scene.cyl_params)], scene.radius, path=os.path.join(p, "c3.png"))
-    img = render_grid_image(scene.gp1.xy, scene.gp1.valid, 9, 9, 480, 640)
+    img = render_grid_image(scene.gp1.xy, scene.gp1.valid, 9, 9, H, W)
     viz.overlay_detection(np.asarray(img), scene.gp1, path=os.path.join(p, "ov.png"))
     for f in ("re.png", "fit.png", "fv.png", "c3.png", "ov.png"):
         assert os.path.getsize(os.path.join(p, f)) > 1000
@@ -72,7 +79,7 @@ def test_cli_detect_folder(tmp_path):
     out_dir = tmp_path / "out"
     in_dir.mkdir()
     for side, gp in (("L", scene.gp1), ("R", scene.gp2)):
-        img = render_grid_image(gp.xy, gp.valid, 9, 9, 480, 640)
+        img = render_grid_image(gp.xy, gp.valid, 9, 9, H, W)
         cli.save_image(str(in_dir / f"00{side}.png"), np.asarray(img))
     cli.main([
         "detect-folder", "--camera-json", cam_json,
@@ -96,12 +103,9 @@ def test_cli_experiment(tmp_path):
     # geometry per frame (kinematic consistency isn't asserted here -- the
     # smoke test checks the driver plumbing end to end).
     for name in ("00", "5-3"):
-        scene = cylinder_grid_points(
-            default_stereo(), capacity=128, origin=(0.0, -40.0, 560.0),
-            radius=70.0, row_spacing=18.0, theta_span=2.0,
-        )
+        scene = _scene()[1]
         for side, gp in (("L", scene.gp1), ("R", scene.gp2)):
-            img = render_grid_image(gp.xy, gp.valid, 9, 9, 480, 640)
+            img = render_grid_image(gp.xy, gp.valid, 9, 9, H, W)
             cli.save_image(str(in_dir / f"{name}{side}.png"), np.asarray(img))
     cli.main([
         "experiment", "--camera-json", cam_json,
