@@ -54,6 +54,35 @@ def _local_frame(normal: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, normal], axis=-1)  # (..., 3, 3) columns
 
 
+def _curvature_from_neighborhood(
+    nbr: jnp.ndarray, nbr_valid: jnp.ndarray
+) -> CurvatureResult:
+    """Shared per-neighborhood math: plane fit -> local frame -> quadric ->
+    shape-operator eig.  nbr (..., k, 3), nbr_valid (..., k)."""
+    dtype = nbr.dtype
+    # Local plane per neighborhood -> normal (smallest eigvec of covariance).
+    w = nbr_valid.astype(dtype)[..., None]
+    cnt = jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), 1.0)
+    mean = jnp.sum(nbr * w, axis=-2, keepdims=True) / cnt
+    cd = (nbr - mean) * w
+    cov = jnp.swapaxes(cd, -1, -2) @ cd / jnp.maximum(cnt[..., 0, :, None] - 1.0, 1.0)
+    _, vecs = jnp.linalg.eigh(cov)
+    normal = vecs[..., :, 0]                      # (..., 3)
+
+    frame = _local_frame(normal)                  # (..., 3, 3)
+    local = (nbr - mean) @ frame                  # (..., k, 3)
+    x, y, z = local[..., 0], local[..., 1], local[..., 2]
+    a = jnp.stack([x * x, x * y, y * y, x, y], axis=-1)  # (..., k, 5)
+    coeffs = solve_normal_equations(a, z, nbr_valid.astype(dtype))  # (..., 5)
+
+    evals, evecs2 = eigh2x2(2.0 * coeffs[..., 0], coeffs[..., 1], 2.0 * coeffs[..., 2])
+    directions = frame[..., :2] @ evecs2          # (..., 3, 2)
+    flat = jnp.argmin(jnp.abs(evals), axis=-1)    # min |curvature| -> axis dir
+    hot = (jnp.arange(2) == flat[..., None]).astype(dtype)  # gather-free select
+    flat_dir = jnp.sum(directions * hot[..., None, :], axis=-1)
+    return CurvatureResult(directions=directions, curvatures=evals, flat_direction=flat_dir)
+
+
 def estimate_curvatures(
     pts: jnp.ndarray, valid: jnp.ndarray, k: int = 20
 ) -> CurvatureResult:
@@ -74,26 +103,41 @@ def estimate_curvatures(
     _, nbr_idx = jax.lax.top_k(-d2, k)            # (N, k)
     nbr = pts[nbr_idx]                            # (N, k, 3)
     nbr_valid = valid[nbr_idx]                    # (N, k)
+    return _curvature_from_neighborhood(nbr, nbr_valid)
 
-    # Local plane per neighborhood -> normal (smallest eigvec of covariance).
-    w = nbr_valid.astype(dtype)[..., None]
-    cnt = jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), 1.0)
-    mean = jnp.sum(nbr * w, axis=-2, keepdims=True) / cnt
-    cd = (nbr - mean) * w
-    cov = jnp.swapaxes(cd, -1, -2) @ cd / jnp.maximum(cnt[..., 0, :, None] - 1.0, 1.0)
-    _, vecs = jnp.linalg.eigh(cov)
-    normal = vecs[..., :, 0]                      # (N, 3)
 
-    frame = _local_frame(normal)                  # (N, 3, 3)
-    local = (nbr - mean) @ frame                  # (N, k, 3)
-    x, y, z = local[..., 0], local[..., 1], local[..., 2]
-    a = jnp.stack([x * x, x * y, y * y, x, y], axis=-1)  # (N, k, 5)
-    coeffs = solve_normal_equations(a, z, nbr_valid.astype(dtype))  # (N, 5)
+def estimate_curvature_at(
+    pts: jnp.ndarray, valid: jnp.ndarray, idx: jnp.ndarray, k: int = 20
+) -> CurvatureResult:
+    """Curvature frame at ONE point index -- pts (N, 3), valid (N,), idx ().
 
-    evals, evecs2 = eigh2x2(2.0 * coeffs[..., 0], coeffs[..., 1], 2.0 * coeffs[..., 2])
-    directions = frame[..., :2] @ evecs2          # (N, 3, 2)
-    flat = jnp.argmin(jnp.abs(evals), axis=-1)    # min |curvature| -> axis dir
-    flat_dir = jnp.take_along_axis(
-        directions, flat[:, None, None].repeat(3, 1), axis=-1
-    )[..., 0]
-    return CurvatureResult(directions=directions, curvatures=evals, flat_direction=flat_dir)
+    The cylinder init needs the flat direction only at the point closest to
+    the radial line (ref utils/fitCylinderWPts3.m:29), so computing all N
+    neighborhoods is N x wasted work (~2.9 ms/frame measured on v5e at
+    N=576 vs ~0.05 ms for this).  Numerically identical to
+    ``estimate_curvatures(pts, valid, k).flat_direction[idx]``: the same
+    distance row, same top_k tie-breaking, same neighborhood math.
+
+    Gather-free on purpose: the point select and the k-neighbor select are
+    one-hot HIGHEST-precision matmuls (exact for a 0/1 left operand; TPU
+    dynamic gathers under vmap are disproportionately slow -- see NEXT.md).
+    """
+    n = pts.shape[0]
+    dtype = pts.dtype
+    hot0 = (jnp.arange(n) == idx).astype(dtype)
+    p0 = jnp.einsum(
+        "n,nd->d", hot0, pts, precision=jax.lax.Precision.HIGHEST
+    )
+    diff = pts - p0
+    d2 = jnp.sum(diff * diff, axis=-1)
+    big = jnp.asarray(1e30, dtype)
+    d2 = jnp.where(valid, d2, big)
+    k = min(k, n)
+    _, nbr_idx = jax.lax.top_k(-d2, k)            # (k,)
+    onehot = (nbr_idx[:, None] == jnp.arange(n)[None, :]).astype(dtype)
+    payload = jnp.concatenate([pts, valid.astype(dtype)[:, None]], axis=-1)
+    sel = jnp.einsum(
+        "kn,nd->kd", onehot, payload, precision=jax.lax.Precision.HIGHEST
+    )
+    nbr, nbr_valid = sel[:, :3], sel[:, 3] > 0.5
+    return _curvature_from_neighborhood(nbr, nbr_valid)

@@ -20,7 +20,7 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
-from cylinder_pose_estimation_tpu.geometry.curvature import estimate_curvatures
+from cylinder_pose_estimation_tpu.geometry.curvature import estimate_curvature_at
 from cylinder_pose_estimation_tpu.ops.linalg import masked_mean, pca_components
 from cylinder_pose_estimation_tpu.ops.lm import levenberg_marquardt
 
@@ -83,8 +83,11 @@ def init_cylinder(
     closest = jnp.take_along_axis(pts, i[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
     d2surface = jnp.linalg.norm(ctr - closest, axis=-1)
 
-    curv = estimate_curvatures(pts, valid, k=knn_k)
-    cyldir = curv.flat_direction[i]
+    # Curvature only at the closest point (all the init consumes, ref
+    # utils/fitCylinderWPts3.m:29) -- the all-points batch was the fit
+    # path's dominant cost (2.9 ms/frame on v5e at N=576).
+    curv = estimate_curvature_at(pts, valid, i, k=knn_k)
+    cyldir = curv.flat_direction
 
     cylorg = ctr + rdir * (radius - d2surface)[..., None]
     return CylinderInit(params0=jnp.concatenate([cylorg, cyldir], axis=-1), ok=ok)

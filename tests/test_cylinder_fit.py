@@ -56,6 +56,27 @@ def test_curvature_flat_direction_is_axis():
     assert np.median(angles) < 5.0
 
 
+def test_curvature_at_matches_batched():
+    """The single-point fast path must reproduce the all-points batch exactly
+    (same distance row, same top_k tie-breaking, same neighborhood math)."""
+    from cylinder_pose_estimation_tpu.geometry.curvature import estimate_curvature_at
+
+    scene = _scene(noise=0.2, seed=5)
+    full = estimate_curvatures(scene.pts3, scene.valid, k=20)
+    for idx in (0, 17, 100):
+        one = jax.jit(
+            lambda i: estimate_curvature_at(scene.pts3, scene.valid, i, k=20)
+        )(jnp.asarray(idx))
+        np.testing.assert_allclose(
+            np.asarray(one.flat_direction),
+            np.asarray(full.flat_direction[idx]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(one.curvatures), np.asarray(full.curvatures[idx]), atol=1e-5
+        )
+
+
 def test_init_cylinder_reasonable():
     scene = _scene()
     init = init_cylinder(scene.pts3, scene.valid, scene.radius)
