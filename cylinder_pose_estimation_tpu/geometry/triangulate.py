@@ -60,9 +60,11 @@ def triangulate(
     which costs ~3 digits of float32 accuracy (mm-level error at 0.6 m range);
     normalized it recovers micron-level points without float64.
 
-    Invalid points produce well-defined garbage under the mask (A^T A of a
-    masked point is regularized to identity) -- downstream consumers must
-    respect ``valid``.
+    Invalid slots return ZERO points (not garbage): the regularized identity
+    system yields a homogeneous solution with w ~ 0, i.e. ~1e12-scale points
+    whose squares overflow float32 to inf/nan inside downstream masked sums
+    (masked weights multiply AFTER the squaring: inf * 0 = nan).  Zeroing
+    under the final mask keeps every masked consumer finite.
     """
     dtype = xy1.dtype
     rt1 = jnp.concatenate([jnp.eye(3, dtype=dtype), jnp.zeros((3, 1), dtype)], axis=1)
@@ -95,6 +97,9 @@ def triangulate(
     ok = jnp.isfinite(err) & (jnp.abs(w) > 1e-12)
     if valid is not None:
         ok = ok & valid
+    ok = ok & jnp.all(jnp.isfinite(pts3), axis=-1)
+    pts3 = jnp.where(ok[..., None], pts3, 0.0)
+    err = jnp.where(ok, err, 0.0)
     return TriangulationResult(points3=pts3, reproj_error=err, valid=ok)
 
 

@@ -64,3 +64,25 @@ def test_pose_jit_and_vmap_over_frames():
     batched = np.asarray(fn(gp1, gp2))
     for f, scene in enumerate(scenes):
         assert axis_angle_deg(batched[f, 3:6], np.asarray(scene.cyl_params[3:6])) < 0.5
+
+
+def test_pose_degenerate_sparse_grids_stay_finite():
+    """Near-empty detections (the multichip dryrun's tiny frames) must flow
+    through correspond -> triangulate -> fit without inf/nan: triangulate
+    zeroes masked-out slots so their ~1e12 homogeneous garbage cannot
+    overflow downstream masked sums (regression: reg fval was nan)."""
+    from cylinder_pose_estimation_tpu.types import GridPoints
+
+    stereo = default_stereo()
+    scene = cylinder_grid_points(stereo, capacity=128, seed=2)
+    # Keep 4 points in view 1 and a DISJOINT set of 4 indices in view 2:
+    # correspondence falls back, triangulation keeps nothing.
+    v1 = np.zeros(128, bool); v1[:4] = True
+    v2 = np.zeros(128, bool); v2[8:12] = True
+    gp1 = scene.gp1._replace(valid=jnp.asarray(v1))
+    gp2 = scene.gp2._replace(valid=jnp.asarray(v2))
+    res = jax.jit(lambda a, b: fit_single_cylinder(a, b, stereo))(gp1, gp2)
+    for leaf in jax.tree.leaves(res):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "f":
+            assert np.isfinite(arr).all(), arr
