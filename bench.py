@@ -16,9 +16,13 @@ Measurement protocol (honest under the axon tunnel):
   * 16 UNIQUE rendered scenes (distinct cylinder poses), not tiled copies;
   * inputs are staged on-device once (input pipelines are not the metric and
     the tunnel's host->device path is an environment artifact);
-  * every timed call perturbs the images with a fresh on-device scalar so no
+  * every repetition perturbs the images with a fresh scalar so no
     execution/caching shortcut can fire (identical-buffer re-execution was
     observed to short-circuit);
+  * repetitions run INSIDE one jit via lax.scan with a carry data dependency:
+    per-call host<->device round trips (measured drifting between ~5 and
+    ~30 ms/call on the tunnel) amortize over K*batch frames instead of
+    polluting the per-frame number;
   * timing is synced by materializing outputs on the host;
   * the "stages" dict reports the detect-only ms/frame (both views) measured
     the same way; fit = end_to_end - detect.
@@ -54,27 +58,34 @@ def main() -> None:
     detect_cfg = CylinderDetectConfig(height=height, width=width, use_pallas=True)
     fit_cfg = FitConfig()
 
-    @jax.jit
     def step(a, b, k):
         res = estimate_poses_batch(a + k, b + k, stereo, detect_cfg, fit_cfg)
-        return res.fit.params, res.fit.mean_reproj_error
+        return res.fit.params.sum() + res.fit.mean_reproj_error.sum()
 
-    @jax.jit
     def step_detect(a, b, k):
-        det = jax.vmap(lambda im: detect_grid(im, detect_cfg).grid.xy)
-        return det(a + k), det(b + k)
+        det = jax.vmap(lambda im: detect_grid(im, detect_cfg).grid.xy.sum())
+        return det(a + k).sum() + det(b + k).sum()
 
-    def timed(fn, n_iters=6):
-        out = fn(d1, d2, jnp.float32(0.0))  # warmup / compile
-        np.asarray(jax.tree.leaves(out)[0])
-        ks = [jax.device_put(jnp.float32(1e-4 * (i + 1))) for i in range(n_iters)]
+    reps = 8
+
+    def timed(body, n_calls=3):
+        @jax.jit
+        def run(k0):
+            def rep(carry, i):
+                v = body(d1, d2, k0 + 1e-6 * i.astype(jnp.float32) + 1e-9 * carry)
+                return carry + v, ()
+            out, _ = jax.lax.scan(rep, jnp.float32(0.0), jnp.arange(reps))
+            return out
+
+        np.asarray(run(jnp.float32(1e-7)))  # warmup / compile
+        ks = [jax.device_put(jnp.float32(1e-4 * (i + 1))) for i in range(n_calls)]
         jax.block_until_ready(ks)
         t0 = time.perf_counter()
-        outs = [fn(d1, d2, k) for k in ks]
+        outs = [run(k) for k in ks]
         for o in outs:
-            np.asarray(jax.tree.leaves(o)[0])
+            np.asarray(o)
         dt = time.perf_counter() - t0
-        return dt / (batch * n_iters)  # seconds per frame
+        return dt / (batch * reps * n_calls)  # seconds per frame
 
     spf = timed(step)
     spf_detect = timed(step_detect)

@@ -171,53 +171,95 @@ def _joint_centroids(
     return jnp.where(valid[:, None], cents, 0.0), valid
 
 
-def _largest_component_lowres(mask: jnp.ndarray, cfg: DetectConfig) -> jnp.ndarray:
-    """Largest connected component computed at 1/4 resolution.
+# Lowres canvas shift: pooled content sits at [_SHIFT4:, _SHIFT4:] inside the
+# padded canvas so the CC kernels' 1-px anti-wrap border ring only ever
+# touches padding, never real content (a lowres px is 4 full-res px -- an
+# unshifted ring was measured to drop border-row grid points).
+_SHIFT4 = 1
 
-    ROI components span most of the image (geodesic diameter ~500 px), which
-    is expensive for any label-propagation scheme at full resolution but
-    trivial at 1/4: max-pool down, label with the (cheap, tiny) XLA scan CC,
-    upsample the winner.  The ROI feeds a bbox + mask with +35 px margins, so
-    quarter-pixel fidelity is irrelevant."""
-    h, w = mask.shape
+
+def _pool4_pad(mask: jnp.ndarray) -> jnp.ndarray:
+    """Quarter-res max-pool into a TPU-tiled padded canvas.
+
+    Content is shifted by (+_SHIFT4, +_SHIFT4); height pads to a multiple of
+    8 (sublanes) and width to a multiple of 128 (lanes) so the Pallas CC
+    kernel gets tiled shapes.  Padding is background; all lowres consumers
+    work in this canvas space and crop/offset only at the boundary back to
+    full resolution."""
     small = jax.lax.reduce_window(
         mask.astype(jnp.float32), -jnp.inf, jax.lax.max, (4, 4), (4, 4), "VALID"
     ) > 0.5
-    # Dilated ROI blobs at 1/4 res are compact: 8 pool+scan rounds converge.
-    labels = labeling.connected_components(small, iters=min(cfg.cc_iters, 8))
-    largest = labeling.largest_component_mask(labels)
-    return jnp.repeat(jnp.repeat(largest, 4, axis=0), 4, axis=1)[:h, :w]
+    h4, w4 = small.shape
+    hp = ((h4 + 2 * _SHIFT4 + 7) // 8) * 8
+    wp = ((w4 + 2 * _SHIFT4 + 127) // 128) * 128
+    return jnp.pad(
+        small, ((_SHIFT4, hp - h4 - _SHIFT4), (_SHIFT4, wp - w4 - _SHIFT4))
+    )
 
 
-def _roi_cylinder(
-    h_mask: jnp.ndarray, v_mask: jnp.ndarray, cfg: CylinderDetectConfig
+def _cc_lowres_pair(
+    m0: jnp.ndarray, m1: jnp.ndarray, cfg: DetectConfig
 ) -> jnp.ndarray:
-    """Grid-region mask: dilate the line masks until they merge, take the
-    largest component, orthoconvex-fill (stands in for the blob-hull ROI,
+    """Label TWO quarter-res masks in ONE launch -> (2, h4, wp) labels.
+
+    The detector needs exactly two lowres labelings per image (the ROI merge
+    blob and the saturation blob); as separate XLA scan-CC calls each costs
+    ~0.6 ms/frame on v5e (hundreds of tiny launch-bound ops), while one
+    batched Pallas launch at this size is ~0.05 ms.  Lowres blobs are compact
+    (dilated unions / Gaussian-blurred disks), so 4 pool+scan rounds converge
+    with margin.
+
+    A 1-px lowres border ring is zeroed on BOTH paths: the Pallas kernel
+    forces it anyway (circular-roll anti-wrap), so clearing it here keeps the
+    XLA path bit-identical to the Pallas path at image borders."""
+    h4, w4 = m0.shape
+    rows = jnp.arange(h4)[:, None]
+    cols = jnp.arange(w4)[None, :]
+    ring = (rows >= 1) & (rows < h4 - 1) & (cols >= 1) & (cols < w4 - 1)
+    stack = jnp.stack([m0 & ring, m1 & ring])
+    if cfg.use_pallas:
+        from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
+            connected_components as cc_pallas,
+        )
+
+        return cc_pallas(stack, rounds=4, interpret=cfg.pallas_interpret)
+    return jax.vmap(
+        lambda m: labeling.connected_components(m, iters=min(cfg.cc_iters, 8))
+    )(stack)
+
+
+def _roi_cylinder_from_labels(
+    merged: jnp.ndarray, labels: jnp.ndarray, h: int, w: int
+) -> jnp.ndarray:
+    """Grid-region mask from the labeled lowres merge blob: largest component,
+    orthoconvex-fill, upsample (stands in for the blob-hull ROI,
     ref detect_largest_blob utils/util_cylinder.py:1830-1899).
 
-    The whole chain runs at 1/4 resolution: maxpool-4 the line union, dilate
-    9x9 (= the 35x35 full-res merge radius), label, fill, upsample.  The ROI
-    feeds a bbox, an inside-gate for centroids, and mask ANDs whose reference
-    counterpart carries +35 px margins, so quarter-pixel boundary fidelity is
-    irrelevant -- while the full-res dilate + fill cost ~0.9 ms/frame."""
-    h, w = h_mask.shape
-    lines = h_mask | v_mask
-    small = jax.lax.reduce_window(
-        lines.astype(jnp.float32), -jnp.inf, jax.lax.max, (4, 4), (4, 4),
-        "VALID",
-    ) > 0.5
-    merged = morphology.dilate_rect(small, 9, 9)
-    labels = labeling.connected_components(merged, iters=min(cfg.cc_iters, 8))
+    The chain runs at 1/4 resolution: the ROI feeds a bbox, an inside-gate
+    for centroids, and mask ANDs whose reference counterpart carries +35 px
+    margins, so quarter-pixel boundary fidelity is irrelevant -- while the
+    full-res dilate + fill cost ~0.9 ms/frame."""
     largest = labeling.largest_component_mask(labels) & merged
     filled = labeling.fill_orthoconvex(largest)
+    h4 = -(-h // 4)
+    w4 = -(-w // 4)
+    filled = filled[_SHIFT4:_SHIFT4 + h4, _SHIFT4:_SHIFT4 + w4]
     return jnp.repeat(jnp.repeat(filled, 4, axis=0), 4, axis=1)[:h, :w]
 
 
-def _roi_plane(gray: jnp.ndarray, cfg: PlaneDetectConfig) -> jnp.ndarray:
-    """Threshold-127 hull ROI (ref get_convex_hull utils/util_plane.py:2590-2689)."""
-    th = gray > cfg.roi_threshold
-    largest = _largest_component_lowres(th, cfg) & th
+def _roi_plane_from_labels(
+    th: jnp.ndarray, labels: jnp.ndarray, cfg: PlaneDetectConfig
+) -> jnp.ndarray:
+    """Threshold-127 hull ROI (ref get_convex_hull utils/util_plane.py:2590-2689),
+    largest blob resolved at 1/4 resolution from the shared lowres labeling."""
+    h, w = th.shape
+    largest4 = labeling.largest_component_mask(labels)
+    h4 = -(-h // 4)
+    w4 = -(-w // 4)
+    largest4 = largest4[_SHIFT4:_SHIFT4 + h4, _SHIFT4:_SHIFT4 + w4]
+    largest = (
+        jnp.repeat(jnp.repeat(largest4, 4, axis=0), 4, axis=1)[:h, :w] & th
+    )
     hull = labeling.fill_orthoconvex(largest)
     return morphology.dilate_rect(hull, 2 * cfg.roi_expand + 1, 2 * cfg.roi_expand + 1)
 
@@ -276,6 +318,8 @@ def _saturation_carve(
     roi_mask: jnp.ndarray,
     cfg: DetectConfig,
     sat: jnp.ndarray | None = None,
+    sat_small: jnp.ndarray | None = None,
+    sat_labels: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Carve the saturated (specular) blob out of the line masks
     (ref mask_roi_around_center utils/util_cylinder.py:1944-2007).
@@ -285,26 +329,31 @@ def _saturation_carve(
     tens of pixels across, and the measurements feed only heuristic carve
     sizes (+20/+5 radius pads, ellipse semi-axes, bridge kernel length) where
     ~2 px of quantization is immaterial -- while full-resolution labeling +
-    stats cost ~3 ms/frame on v5e."""
+    stats cost ~3 ms/frame on v5e.  ``sat_small``/``sat_labels`` (padded
+    lowres space, see _pool4_pad) come from the shared one-launch lowres
+    labeling when the caller is detect_grid."""
     if sat is None:
         blurred = gaussian_blur_cv(gray, cfg.sat_blur_ksize)
         sat = blurred > cfg.sat_threshold
     hgt, wdt = gray.shape
-    small = jax.lax.reduce_window(
-        sat.astype(jnp.float32), -jnp.inf, jax.lax.max, (4, 4), (4, 4), "VALID"
-    ) > 0.5
-    labels = labeling.connected_components(small, iters=8)
+    small = _pool4_pad(sat) if sat_small is None else sat_small
+    labels = (
+        labeling.connected_components(small, iters=8)
+        if sat_labels is None
+        else sat_labels
+    )
     stats = labeling.component_stats_first_k(labels, k=16, compute_bbox=False)
     li = jnp.argmax(stats.count)  # largest saturated blob
     has = stats.valid[li]
-    # lowres block (i, j) covers full-res [4i, 4i+4) x [4j, 4j+4).
-    cx = 4.0 * stats.centroid[li, 0] + 1.5
-    cy = 4.0 * stats.centroid[li, 1] + 1.5
+    # Canvas block (i, j) covers full-res [4(i-_SHIFT4), ...) x 4 (content is
+    # shifted by _SHIFT4 inside the padded canvas, see _pool4_pad).
+    cx = 4.0 * (stats.centroid[li, 0] - _SHIFT4) + 1.5
+    cy = 4.0 * (stats.centroid[li, 1] - _SHIFT4) + 1.5
     # Circumscribing radius: max distance from the centroid to blob blocks
     # (+2.2 px block half-diagonal so the lowres estimate still circumscribes).
     sh, sw = small.shape
-    yy_s = 4.0 * jnp.arange(sh, dtype=jnp.float32)[:, None] + 1.5
-    xx_s = 4.0 * jnp.arange(sw, dtype=jnp.float32)[None, :] + 1.5
+    yy_s = 4.0 * (jnp.arange(sh, dtype=jnp.float32)[:, None] - _SHIFT4) + 1.5
+    xx_s = 4.0 * (jnp.arange(sw, dtype=jnp.float32)[None, :] - _SHIFT4) + 1.5
     blob = labels == stats.root[li]
     dist_s = jnp.sqrt((xx_s - cx) ** 2 + (yy_s - cy) ** 2) + 2.2
     radius0 = jnp.where(has, jnp.max(jnp.where(blob, dist_s, 0.0)), 0.0)
@@ -635,6 +684,19 @@ def detect_grid(
             cfg.sauvola_r,
             min_contrast=0.05,
         )
+        # Same border-margin band as the Pallas kernel (margin=line_kernel_len)
+        # so the two paths agree bit-for-bit at image edges.  The reference's
+        # own border ridges are constant-padding artifacts that its blob ROI
+        # discards (NEXT.md known deviations); blessing the margin as the spec
+        # makes A/B parity exact instead of "exact except border scenes".
+        mrg = cfg.line_kernel_len
+        rr = jnp.arange(gray.shape[0])[:, None]
+        cc = jnp.arange(gray.shape[1])[None, :]
+        inside = (
+            (rr >= mrg) & (rr < gray.shape[0] - mrg)
+            & (cc >= mrg) & (cc < gray.shape[1] - mrg)
+        )
+        binary = binary & inside
         h_mask = morphology.open_rect(binary, 1, cfg.line_kernel_len)
         v_mask = morphology.open_rect(binary, cfg.line_kernel_len, 1)
         joints = h_mask & v_mask
@@ -643,11 +705,28 @@ def detect_grid(
         bright_index = None
     cents, cvalid = _joint_centroids(joints, cfg)
 
-    # 3. ROI
+    # 3.+5a. ROI + saturation-blob labeling share ONE lowres CC launch: the
+    # detector needs exactly two quarter-res labelings per image, and separate
+    # scan-CC calls cost ~0.6 ms/frame each on v5e (launch-bound).
+    if sat_mask is None:
+        # XLA path only: `inside` is the margin band defined in the XLA
+        # preprocess branch above (the Pallas kernel margins its sat output).
+        sat_mask = (
+            gaussian_blur_cv(gray, cfg.sat_blur_ksize) > cfg.sat_threshold
+        ) & inside
+    sat_small = _pool4_pad(sat_mask)
     if cfg.mode == "cylinder":
-        roi = _roi_cylinder(h_mask, v_mask, cfg)  # type: ignore[arg-type]
+        roi_seed4 = morphology.dilate_rect(_pool4_pad(h_mask | v_mask), 9, 9)
     else:
-        roi = _roi_plane(gray, cfg)  # type: ignore[arg-type]
+        roi_th = gray > cfg.roi_threshold  # type: ignore[attr-defined]
+        roi_seed4 = _pool4_pad(roi_th)
+    roi_labels, sat_labels = _cc_lowres_pair(roi_seed4, sat_small, cfg)
+
+    h_img, w_img = gray.shape
+    if cfg.mode == "cylinder":
+        roi = _roi_cylinder_from_labels(roi_seed4, roi_labels, h_img, w_img)
+    else:
+        roi = _roi_plane_from_labels(roi_th, roi_labels, cfg)  # type: ignore[arg-type]
     bbox = _bbox_of(roi)
 
     # 4. center seed
@@ -657,7 +736,8 @@ def detect_grid(
 
     # 5. saturation carve
     mh, mv, circle_radius0 = _saturation_carve(
-        gray, h_mask, v_mask, roi, cfg, sat=sat_mask
+        gray, h_mask, v_mask, roi, cfg,
+        sat=sat_mask, sat_small=sat_small, sat_labels=sat_labels,
     )
 
     # 6a. bridge lines

@@ -24,7 +24,9 @@ H, W = 240, 320
 
 
 def _scene():
-    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0)
+    # baseline 30 mm: the default 100 mm disparity (~170 px at this K/z)
+    # pushes most of the right view's grid off the half-res canvas.
+    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0, baseline=30.0)
     return stereo, cylinder_grid_points(
         stereo, capacity=128, origin=(0.0, -15.0, 560.0), radius=70.0,
         row_spacing=18.0, theta_span=2.0,
