@@ -119,6 +119,11 @@ class DetectConfig:
                                  # curves, 6 is exact on the bench scenes
                                  # (A/B parity 32/32) with ~2x margin; each
                                  # round costs ~0.18 ms/frame/launch on v5e
+    pallas_cc_rounds_prebridge: int = 3  # the pre-bridge labeling sees only
+                                 # un-bridged line fragments (smooth arcs, no
+                                 # bends): fewer rounds converge; A/B parity
+                                 # vs the fully-converged XLA labels is the
+                                 # check that this stays exact
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
 
     @property

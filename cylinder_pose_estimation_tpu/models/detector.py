@@ -306,7 +306,10 @@ def _center_seed(
     center = cents[ci]
     d = jnp.linalg.norm(cents - center, axis=-1)
     d = jnp.where(inside, d, jnp.inf)
-    d2 = jnp.sort(d)[1]  # 2nd nearest (the nearest is the center itself)
+    # 2nd nearest (the nearest is the center itself): two masked mins instead
+    # of a full sort (a 512-sort is ~80 latency-bound stages on TPU).
+    i1 = jnp.argmin(d)
+    d2 = jnp.min(jnp.where(jnp.arange(d.shape[0]) == i1, jnp.inf, d))
     d2 = jnp.where(jnp.isfinite(d2), d2, 0.0)
     return center, jnp.floor(d2), inside
 
@@ -481,7 +484,7 @@ def _bridge_pair(
     )
 
     masks = jnp.stack([mh, mv])
-    rounds = max(6, int(cfg.pallas_cc_rounds))
+    rounds = max(3, int(cfg.pallas_cc_rounds_prebridge))
     for _ in range(cfg.bridge_repeats):
         labels = cc_pallas(
             masks, rounds=rounds, interpret=cfg.pallas_interpret
