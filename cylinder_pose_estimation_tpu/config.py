@@ -40,6 +40,15 @@ class DetectConfig:
                                  # each round = 3x3 pool + full row & column
                                  # segmented scans, so convergence needs
                                  # O(#direction changes) rounds, not O(diameter)
+    label_downsample: int = 2    # line-mask labeling + component stats run at
+                                 # 1/this resolution (2x2 max-pool).  Labels
+                                 # only serve as grouping keys for joint
+                                 # centroids and px-scale gate statistics;
+                                 # pooling preserves component identity for
+                                 # masks spaced > 2 px (laser-grid pitch is
+                                 # >= ~12 px) and quarters the cost of the
+                                 # detector's three most expensive stages.
+                                 # Set 1 for full-res labeling.
 
     # --- preprocess / binarize (ref utils/util_cylinder.py:1769-1802) ------
     blur_ksize: int = 5          # cv2.GaussianBlur (5,5), sigma=0 -> 1.1
@@ -233,3 +242,9 @@ class RegistrationConfig:
     lm_iters: int = 80
     lm_lambda0: float = 1e-3
     kinematics: KinematicsConfig = dataclasses.field(default_factory=KinematicsConfig)
+    # Frame-health gate for the multi-frame objective (models/pipeline.
+    # frame_health): frames with fewer triangulated points or a worse mean
+    # reprojection error are excluded from the registration residuals (the
+    # reference lets such frames poison fminsearch, ref :82-94).
+    min_frame_points: int = 8
+    max_frame_reproj_px: float = 2.0

@@ -111,24 +111,50 @@ def fit_cylinders_with_angles(
     valid: jnp.ndarray,
     angles: jnp.ndarray,
     config: RegistrationConfig = RegistrationConfig(),
+    frame_valid: jnp.ndarray | None = None,
 ) -> RegistrationResult:
     """Full multi-frame registration (ref utils/fitCylinderWPts3sAngs.m:1-94).
 
     pts3s: (F, N, 3) per-frame triangulated points (camera-1 frame), masked by
     valid (F, N); angles: (F, 2) [pan, tilt] radians.  F >= 2 (static shape).
+
+    ``frame_valid`` (F,) optionally masks out whole frames (failed detection /
+    degenerate fits): their residuals drop from the objective and the
+    closed-form init is built from the first two *valid* frames.  The
+    reference has no equivalent -- one bad frame poisons its fminsearch
+    (SURVEY.md §5 failure detection: degraded modes become explicit masks
+    here).  If fewer than 2 frames are valid, the mask is ignored (degraded
+    fallback, keeps the solve well-posed).
     """
     assert pts3s.shape[0] >= 2, "registration needs >= 2 frames (ref :18)"
     radius = config.cyl_radius
+    f_total = pts3s.shape[0]
+
+    if frame_valid is None:
+        frame_valid = jnp.ones((f_total,), bool)
+    enough = jnp.sum(frame_valid) >= 2
+    frame_valid = frame_valid | ~enough
+    valid = valid & frame_valid[:, None]
 
     t_agv_cyls = t_agv_cyl(angles[:, 0], angles[:, 1], config.kinematics)
 
-    # Per-frame fits (only frames 0 & 1 feed the init, but the batched fit is
-    # cheap and mirrors the reference's loop at ref :29-38).
+    # First two valid frames feed the init (the reference hardcodes frames
+    # 0 & 1, ref :51; picking valid ones keeps the triad meaningful when a
+    # leading frame failed).
+    order = jnp.argsort(
+        jnp.where(frame_valid, 0, f_total) + jnp.arange(f_total)
+    )[:2]
+    init_pts = pts3s[order]
+    init_val = valid[order]
+    init_kin = t_agv_cyls[order]
+
+    # Per-frame fits (only the two init frames feed the triad, exactly like
+    # the reference's use of its loop results at ref :51-69).
     def per_frame(pts, v):
         f = fit_cylinder(pts, v, radius)
         return apply_prior(f.params, pts, v)
 
-    cyl_params = jax.vmap(per_frame)(pts3s[:2], valid[:2])  # (2, 6)
+    cyl_params = jax.vmap(per_frame)(init_pts, init_val)  # (2, 6)
 
     def residual_fn(pose6):
         return registration_residuals(pose6, t_agv_cyls, pts3s, valid, radius)
@@ -145,13 +171,13 @@ def fit_cylinders_with_angles(
     # problem are negligible next to one detection pass on TPU.
     def pose_for(sign):
         cp = cyl_params.at[:, 3:6].multiply(sign)
-        return transforms.transform_to_vec(_triad_init(t_agv_cyls, cp))
+        return transforms.transform_to_vec(_triad_init(init_kin, cp))
 
     triad_poses = jnp.stack([pose_for(1.0), pose_for(-1.0)])
 
     cube = _cube_group_rotvecs(pts3s.dtype)          # (24, 3)
     r_cube = transforms.rotvec_to_matrix(cube)       # (24, 3, 3)
-    p1 = t_agv_cyls[0, :3, 3]
+    p1 = init_kin[0, :3, 3]
     ep1 = cyl_params[0, :3]
     t_cube = ep1[None, :] - (r_cube @ p1).reshape(24, 3)
     cube_poses = jnp.concatenate([cube, t_cube], axis=-1)

@@ -178,6 +178,34 @@ def _joint_centroids(
 _SHIFT4 = 1
 
 
+def _pool2_pad(mask: jnp.ndarray) -> jnp.ndarray:
+    """Half-res max-pool into a TPU-tiled padded canvas (no shift needed:
+    line masks carry a >= line_kernel_len border margin, far wider than the
+    CC kernels' 1-px anti-wrap ring at half resolution).
+
+    Connectivity semantics: components separated by >= 3 px stay separate
+    (laser-grid line spacing is >= ~12 px); gaps of <= 2 px can fuse
+    depending on pixel parity -- for *fragments of one line* that fusion is
+    the behavior the reference's bridging stage exists to produce
+    (ref utils/util_cylinder.py:137-237), so it is benign by construction."""
+    h, w = mask.shape
+    small = jax.lax.reduce_window(
+        mask.astype(jnp.float32), -jnp.inf, jax.lax.max, (2, 2), (2, 2), "VALID"
+    ) > 0.5
+    h2, w2 = small.shape
+    hp = ((h2 + 7) // 8) * 8
+    wp = ((w2 + 127) // 128) * 128
+    return jnp.pad(small, ((0, hp - h2), (0, wp - w2)))
+
+
+def _upsample2(small: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Undo _pool2_pad: crop the padded canvas, 2x nearest upsample."""
+    h2 = (h + 1) // 2
+    w2 = (w + 1) // 2
+    s = small[:h2, :w2]
+    return jnp.repeat(jnp.repeat(s, 2, axis=0), 2, axis=1)[:h, :w]
+
+
 def _pool4_pad(mask: jnp.ndarray) -> jnp.ndarray:
     """Quarter-res max-pool into a TPU-tiled padded canvas.
 
@@ -378,7 +406,11 @@ def _saturation_carve(
 
 
 def _bridge_angle_exp(
-    out: jnp.ndarray, labels: jnp.ndarray, base_angle: float, cfg: DetectConfig
+    out: jnp.ndarray,
+    labels: jnp.ndarray,
+    base_angle: float,
+    cfg: DetectConfig,
+    scale: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Median component orientation + per-pixel expandability gate for one
     line mask (the label-statistics half of the bridge; the morphology half
@@ -390,11 +422,19 @@ def _bridge_angle_exp(
     (ref :169) -- unbroken full-length lines stay untouched, so tightly
     spaced neighbors cannot be bridged into one label.
 
-    base_angle pins the orientation branch (0 rows, pi/2 cols)."""
+    base_angle pins the orientation branch (0 rows, pi/2 cols).
+
+    ``scale``: labels/out may live at 1/scale resolution (label_downsample):
+    second-moment extents are rescaled to full-res pixels so the min/max/
+    long-frac gates keep their reference-pixel meaning, and the returned
+    expandability gate is at the small resolution (caller upsamples)."""
     hgt, wdt = out.shape
     hw = hgt * wdt
     stats = labeling.component_stats_first_k(
-        labels, k=_MAX_COMPONENTS, min_area=4, compute_bbox=False
+        labels,
+        k=_MAX_COMPONENTS,
+        min_area=4 if scale == 1 else 2,
+        compute_bbox=False,
     )
     ang = labeling.component_orientation(stats)
     # wrap into (base - pi/2, base + pi/2]
@@ -410,7 +450,7 @@ def _bridge_angle_exp(
     half_tr = 0.5 * (stats.mxx + stats.myy)
     half_df = 0.5 * (stats.mxx - stats.myy)
     lam_max = half_tr + jnp.sqrt(half_df * half_df + stats.mxy * stats.mxy)
-    diag = jnp.sqrt(12.0 * jnp.maximum(lam_max, 0.0))
+    diag = float(scale) * jnp.sqrt(12.0 * jnp.maximum(lam_max, 0.0))
     gate_med = stats.valid & (diag >= cfg.bridge_min_len) & (
         diag <= cfg.bridge_max_len
     )
@@ -446,11 +486,22 @@ def _bridge(
     Per repeat: label components, take the *median* component orientation,
     detect endpoints (mask pixels whose directional probe is empty), and
     dilate them with an oriented line kernel of traced length; 3x3 erosion
-    follows, as in the reference (ref :186-189)."""
+    follows, as in the reference (ref :186-189).
+
+    Labeling + component stats run at 1/label_downsample resolution (2x2
+    max-pool): component identity survives pooling for line masks whose
+    spacing exceeds 2 px, the angle/extent statistics feed px-scale gates
+    where half-pixel quantization is immaterial, and the three labeling
+    stages are the detector's most expensive ops (4x fewer pixels)."""
+    h_img, w_img = mask.shape
+    ds = cfg.label_downsample
     out = mask
     for _ in range(cfg.bridge_repeats):
-        labels = _cc(out, cfg.cc_iters // 2, cfg, frac=1.0)
-        angle, exp_img = _bridge_angle_exp(out, labels, base_angle, cfg)
+        small = _pool2_pad(out) if ds == 2 else out
+        labels = _cc(small, cfg.cc_iters // 2, cfg, frac=1.0)
+        angle, exp_img = _bridge_angle_exp(small, labels, base_angle, cfg, scale=ds)
+        if ds == 2:
+            exp_img = _upsample2(exp_img, h_img, w_img)
         fwd = morphology.directional_count(out, angle, cfg.endpoint_probe_len, +1)
         bwd = morphology.directional_count(out, angle, cfg.endpoint_probe_len, -1)
         endpoints = out & exp_img & ((fwd <= 1.0) | (bwd <= 1.0))
@@ -483,16 +534,26 @@ def _bridge_pair(
         connected_components as cc_pallas,
     )
 
+    h_img, w_img = mh.shape
+    ds = cfg.label_downsample
     masks = jnp.stack([mh, mv])
     rounds = max(3, int(cfg.pallas_cc_rounds_prebridge))
     for _ in range(cfg.bridge_repeats):
+        small = (
+            jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
+            if ds == 2
+            else masks
+        )
         labels = cc_pallas(
-            masks, rounds=rounds, interpret=cfg.pallas_interpret
+            small, rounds=rounds, interpret=cfg.pallas_interpret
         )
-        angle_h, exp_h = _bridge_angle_exp(masks[0], labels[0], 0.0, cfg)
+        angle_h, exp_h = _bridge_angle_exp(small[0], labels[0], 0.0, cfg, scale=ds)
         angle_v, exp_v = _bridge_angle_exp(
-            masks[1], labels[1], jnp.pi / 2, cfg
+            small[1], labels[1], jnp.pi / 2, cfg, scale=ds
         )
+        if ds == 2:
+            exp_h = _upsample2(exp_h, h_img, w_img)
+            exp_v = _upsample2(exp_v, h_img, w_img)
         bridged = bridge_morphology(
             masks.astype(jnp.float32),
             jnp.stack([exp_h, exp_v]).astype(jnp.float32),
@@ -507,15 +568,21 @@ def _bridge_pair(
 
 
 def _assign_labels(
-    label_img: jnp.ndarray, cents: jnp.ndarray, cvalid: jnp.ndarray, capacity: int
+    label_img: jnp.ndarray,
+    cents: jnp.ndarray,
+    cvalid: jnp.ndarray,
+    capacity: int,
+    scale: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Map each centroid to the component label under it (3x3 tolerant),
     compacted to [0, capacity) slot ids (ref group_points_by_label
-    utils/util_cylinder.py:376-389)."""
+    utils/util_cylinder.py:376-389).  ``scale``: label_img may live at
+    1/scale resolution (labels are only keys; centroids index the pooled
+    grid)."""
     h, w = label_img.shape
     hw = h * w
-    xi = jnp.clip(cents[:, 0].astype(jnp.int32), 1, w - 2)
-    yi = jnp.clip(cents[:, 1].astype(jnp.int32), 1, h - 2)
+    xi = jnp.clip((cents[:, 0] / scale).astype(jnp.int32), 1, w - 2)
+    yi = jnp.clip((cents[:, 1] / scale).astype(jnp.int32), 1, h - 2)
     best = jnp.full((cents.shape[0],), hw, jnp.int32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
@@ -789,23 +856,31 @@ def detect_grid(
     max_kernel = cfg.bridge_kernel_base + 160
     h_exp, v_exp = _bridge_pair(mh, mv, kernel_len, max_kernel, cfg)
 
-    # 6b. label rows/cols and assign centroids (one batched launch on Pallas)
+    # 6b. label rows/cols and assign centroids (one batched launch on Pallas;
+    # labeling at 1/label_downsample resolution -- labels are only grouping
+    # keys for the centroids, and 2x2 pooling preserves component identity
+    # for line masks spaced > 2 px apart)
+    ds = cfg.label_downsample
+    if ds == 2:
+        hv_masks = jnp.stack([_pool2_pad(h_exp), _pool2_pad(v_exp)])
+    else:
+        hv_masks = jnp.stack([h_exp, v_exp])
     if cfg.use_pallas:
         from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
             connected_components as cc_pallas,
         )
 
         hv_labels = cc_pallas(
-            jnp.stack([h_exp, v_exp]),
-            rounds=max(6, int(cfg.pallas_cc_rounds)),
+            hv_masks,
+            rounds=max(4, int(cfg.pallas_cc_rounds)),
             interpret=cfg.pallas_interpret,
         )
         h_labels, v_labels = hv_labels[0], hv_labels[1]
     else:
-        h_labels = _cc(h_exp, cfg.cc_iters, cfg)
-        v_labels = _cc(v_exp, cfg.cc_iters, cfg)
-    row_of, row_ok, _ = _assign_labels(h_labels, cents, inside, cfg.max_rows)
-    col_of, col_ok, _ = _assign_labels(v_labels, cents, inside, cfg.max_cols)
+        h_labels = _cc(hv_masks[0], cfg.cc_iters, cfg)
+        v_labels = _cc(hv_masks[1], cfg.cc_iters, cfg)
+    row_of, row_ok, _ = _assign_labels(h_labels, cents, inside, cfg.max_rows, scale=ds)
+    col_of, col_ok, _ = _assign_labels(v_labels, cents, inside, cfg.max_cols, scale=ds)
 
     # 6c. per-label polynomial fits (rows + cols in one batched solve)
     (

@@ -103,15 +103,44 @@ def estimate_poses_batch(
     return StereoPoseResult(detect1=d1, detect2=d2, fit=fit)
 
 
+def frame_health(
+    batch: StereoPoseResult,
+    reg_cfg: RegistrationConfig = RegistrationConfig(),
+) -> jnp.ndarray:
+    """(F,) mask of frames whose detection + fit are trustworthy.
+
+    A frame is healthy when both views detected a usable grid, enough points
+    triangulated, the fit stayed finite, and the surviving correspondences
+    reproject well.  The reference has no notion of this -- a failed frame
+    feeds garbage into fitCylinderWPts3sAngs' objective (ref :82-94); here
+    failures are explicit masks that survive vmap (SURVEY.md §5)."""
+    fit = batch.fit
+    n_pts = jnp.sum(fit.points_valid, axis=-1)
+    finite = jnp.all(jnp.isfinite(fit.params), axis=-1)
+    return (
+        batch.detect1.ok
+        & batch.detect2.ok
+        & (n_pts >= reg_cfg.min_frame_points)
+        & finite
+        & (fit.mean_reproj_error <= reg_cfg.max_frame_reproj_px)
+    )
+
+
 def register_sequence(
     batch: StereoPoseResult,
     angles: jnp.ndarray,
     reg_cfg: RegistrationConfig = RegistrationConfig(),
 ) -> RegistrationResult:
     """Multi-frame camera<->AGV registration from a batched pose result
-    (ref exp_gridDetection.m:87 fitCylinderWPts3sAngs)."""
+    (ref exp_gridDetection.m:87 fitCylinderWPts3sAngs), with unhealthy
+    frames masked out of the objective (degraded-mode handling beyond the
+    reference; falls back to all frames if < 2 are healthy)."""
     return fit_cylinders_with_angles(
-        batch.fit.points3, batch.fit.points_valid, angles, reg_cfg
+        batch.fit.points3,
+        batch.fit.points_valid,
+        angles,
+        reg_cfg,
+        frame_valid=frame_health(batch, reg_cfg),
     )
 
 

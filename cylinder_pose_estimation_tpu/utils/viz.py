@@ -14,6 +14,13 @@ Covers the reference viz inventory (SURVEY.md §2b):
   * overlay_detection       -- detection overlay image like the drivers'
                                "<name>_arc.png" outputs
                                (ref python_grid_detection_cylinder.py:54-56)
+  * plot_transformed_data   -- point cloud + axis line before/after a
+                               camera->AGV transform (ref utils/plotTransformedData.m)
+  * visualize_3d_points     -- 3D scatter, z-axis reversed
+                               (ref utils/visualize_3D_points.m)
+  * structure_cyl_info / find_matching_idx / figresize -- small utilities
+                               (ref utils/structureCylInfo.m, utils/findMatchingIdx.m,
+                               utils/figresize.m)
 
 Everything takes NumPy-converted arrays; matplotlib is imported lazily so the
 device pipeline never depends on it.
@@ -207,6 +214,94 @@ def animate_orbit(
     fig.tight_layout()
     fig.savefig(path, dpi=80)
     plt.close(fig)
+
+
+def figresize(fig, size: Tuple[float, float] = (1000, 700)) -> None:
+    """Resize a figure to ``size`` pixels (ref utils/figresize.m)."""
+    fig.set_size_inches(size[0] / fig.dpi, size[1] / fig.dpi)
+
+
+def visualize_3d_points(points: np.ndarray, path: Optional[str] = None):
+    """Scatter a 3D reconstruction with the z-axis reversed
+    (ref utils/visualize_3D_points.m)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(7, 6))
+    ax = fig.add_subplot(projection="3d")
+    p = np.asarray(points)
+    ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=8)
+    ax.set_xlabel("X"); ax.set_ylabel("Y"); ax.set_zlabel("Z")
+    ax.set_title("3D Reconstruction")
+    ax.invert_zaxis()
+    if path:
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+    return fig
+
+
+def plot_transformed_data(
+    pts3: np.ndarray,
+    line: np.ndarray,
+    t_cam_agv: np.ndarray,
+    radius: float = 45.0,
+    path: Optional[str] = None,
+):
+    """Point cloud + axis line in the camera frame and mapped through a
+    camera->AGV transform, each with the line extended 3x beyond both ends
+    and a translucent cylinder around it (ref utils/plotTransformedData.m;
+    the reference hardcodes its C2A at :23-27 -- here it is an argument,
+    normally ``RegistrationResult.t_cam_agv``).
+
+    pts3: (N, 3); line: (2, 3) two points on the cylinder axis."""
+    plt = _plt()
+    fig = plt.figure(figsize=(8, 7))
+    ax = fig.add_subplot(projection="3d")
+    t = np.asarray(t_cam_agv, np.float64)
+    p = np.asarray(pts3, np.float64)
+    ln = np.asarray(line, np.float64)
+    p_t = p @ t[:3, :3].T + t[:3, 3]
+    ln_t = ln @ t[:3, :3].T + t[:3, 3]
+    for pts, l2, color, tag in (
+        (p, ln, "tab:red", "original"),
+        (p_t, ln_t, "tab:green", "transformed"),
+    ):
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=6, c=color,
+                   label=f"{tag} points")
+        ext = l2[1] - l2[0]
+        a, b = l2[0] - 3.0 * ext, l2[1] + 3.0 * ext
+        ax.plot(*np.stack([a, b]).T, color=color, linewidth=2,
+                label=f"{tag} line")
+        axis_dir = ext / max(np.linalg.norm(ext), 1e-12)
+        params = np.concatenate([0.5 * (a + b), axis_dir])
+        xs, ys, zs = cylinder_mesh(
+            params, radius, half_length=0.5 * float(np.linalg.norm(b - a))
+        )
+        ax.plot_surface(xs, ys, zs, alpha=0.25, color=color)
+    ax.set_xlabel("X"); ax.set_ylabel("Y"); ax.set_zlabel("Z")
+    ax.legend(loc="upper left", fontsize=7)
+    if path:
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+    return fig
+
+
+def structure_cyl_info(idx, xs, ys, zs):
+    """Select per-frame cylinder meshes by frame index into a list of
+    {"X", "Y", "Z"} dicts (ref utils/structureCylInfo.m; the MATLAB struct
+    array becomes a list of dicts)."""
+    return [{"X": xs[i], "Y": ys[i], "Z": zs[i]} for i in idx]
+
+
+def find_matching_idx(img_paths, names):
+    """Indices of paths whose filename stem is in ``names``
+    (ref utils/findMatchingIdx.m)."""
+    import os
+
+    out = []
+    for i, p in enumerate(img_paths):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        if stem in names:
+            out.append(i)
+    return out
 
 
 def overlay_detection(

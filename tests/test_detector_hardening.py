@@ -148,7 +148,11 @@ def test_plane_fragmented_column_merges_to_single_index():
     mid = 0.5 * (pts[r, j] + pts[r + 1, j])
     x0, y0 = int(mid[0]), int(mid[1])
     broken = np.asarray(img).copy()
-    broken[y0 - 7 : y0 + 7, x0 - 5 : x0 + 5] = 18.0
+    # The vertical opening's dilation re-grows the line ~6 px into the erased
+    # band from each side, and half-res labeling (label_downsample=2) fuses
+    # residual gaps <= 2 px; a 20 px band leaves an ~8 px gap that stays a
+    # genuine fragmentation at every labeling resolution.
+    broken[y0 - 10 : y0 + 10, x0 - 5 : x0 + 5] = 18.0
     broken = jnp.asarray(broken)
 
     base = PlaneDetectConfig(

@@ -89,3 +89,45 @@ def test_registration_with_noise():
     res = fit_cylinders_with_angles(noisy, valid, angles)
     # Residual floor set by the 0.3 mm point noise.
     assert float(res.fval) < 3 * 0.3**2 * angles.shape[0]
+
+
+def test_registration_masks_poisoned_frame():
+    """A frame full of garbage points must not poison the solve when masked
+    via frame_valid (models/pipeline.frame_health supplies the mask in the
+    pipeline; here the mechanism is exercised directly).  The first frame is
+    the poisoned one, so the init must also skip to the first valid frames."""
+    gt_pose = jnp.asarray([0.15, -1.5, 0.1, 90.0, -25.0, 820.0], jnp.float32)
+    t_gt = tf.vec_to_transform(gt_pose)
+    angles = jnp.asarray(
+        [[-0.25, 0.05], [0.0, 0.0], [0.3, -0.1], [0.55, 0.15]], jnp.float32
+    )
+    pts3s, valid = _make_frames(t_gt, np.asarray(angles), seed=5)
+    rng = np.random.default_rng(11)
+    garbage = jnp.asarray(
+        rng.uniform(-1e4, 1e4, pts3s.shape[1:]).astype(np.float32)
+    )
+    poisoned = pts3s.at[0].set(garbage)
+    frame_valid = jnp.asarray([False, True, True, True])
+    res = fit_cylinders_with_angles(
+        poisoned, valid, angles, frame_valid=frame_valid
+    )
+    assert float(res.fval) < 1e-3
+    pred_gt = np.asarray(predicted_cylinder_poses(t_gt, angles))
+    pred = np.asarray(predicted_cylinder_poses(res.t_cam_agv, angles))
+    for f in range(1, angles.shape[0]):
+        c = abs(float(pred[f, :3, 1] @ pred_gt[f, :3, 1]))
+        assert np.degrees(np.arccos(min(c, 1.0))) < 0.1
+
+
+def test_registration_frame_mask_fallback_under_two_valid():
+    """With < 2 valid frames the mask is ignored (degraded fallback): the
+    solve still runs over all frames instead of going singular."""
+    gt_pose = jnp.asarray([0.0, -1.5, 0.1, 100.0, -30.0, 850.0], jnp.float32)
+    t_gt = tf.vec_to_transform(gt_pose)
+    angles = jnp.asarray([[-0.2, 0.05], [0.25, -0.1]], jnp.float32)
+    pts3s, valid = _make_frames(t_gt, np.asarray(angles), seed=6)
+    frame_valid = jnp.asarray([False, True])
+    res = fit_cylinders_with_angles(
+        pts3s, valid, angles, frame_valid=frame_valid
+    )
+    assert float(res.fval) < 1e-3

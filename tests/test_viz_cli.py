@@ -66,6 +66,33 @@ def test_viz_figures_render(tmp_path):
         assert os.path.getsize(os.path.join(p, f)) > 1000
 
 
+def test_viz_aux_helpers_render(tmp_path):
+    _, scene = _scene()
+    p = str(tmp_path)
+    pts3 = np.asarray(scene.pts3)[np.asarray(scene.valid)]
+    cp = np.asarray(scene.cyl_params, np.float64)
+    line = np.stack([cp[:3] - 50 * cp[3:6], cp[:3] + 50 * cp[3:6]])
+    t = np.eye(4)
+    t[:3, 3] = [10.0, -5.0, 3.0]
+    fig = viz.plot_transformed_data(
+        pts3, line, t, radius=scene.radius, path=os.path.join(p, "tr.png")
+    )
+    viz.visualize_3d_points(pts3, path=os.path.join(p, "p3.png"))
+    for f in ("tr.png", "p3.png"):
+        assert os.path.getsize(os.path.join(p, f)) > 1000
+    fig2 = viz.plot_fvals(np.asarray([[900.0, 60.0]]))
+    viz.figresize(fig2, (800, 500))
+    assert tuple(np.round(fig2.get_size_inches() * fig2.dpi)) == (800, 500)
+
+    xs = [np.zeros((2, 2)) + i for i in range(4)]
+    info = viz.structure_cyl_info([2, 0], xs, xs, xs)
+    assert len(info) == 2 and float(info[0]["X"][0, 0]) == 2.0
+    assert viz.find_matching_idx(
+        ["/a/b/10-20L.png", "/a/b/frameR.png", "c/00L.png"],
+        {"10-20L", "00L"},
+    ) == [0, 2]
+
+
 def test_parse_img_info():
     assert cli.parse_img_info("10-20") == (10.0, -20.0)
     assert cli.parse_img_info("-15-5") == (-15.0, -5.0)
