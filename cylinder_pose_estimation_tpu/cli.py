@@ -53,7 +53,13 @@ def save_image(path: str, arr: np.ndarray) -> None:
 
 def parse_img_info(name: str) -> Optional[Tuple[float, float]]:
     """Parse '<pan><tilt>' degree pairs from a basename
-    (ref utils/parseImgInfo.m:16-30, regex ^(-?\\d+)(-?\\d+)$)."""
+    (ref utils/parseImgInfo.m:16-30, regex ^(-?\\d+)(-?\\d+)$).
+
+    The regex is inherently ambiguous for unsigned multi-digit pans: the
+    first group is greedy, so '1010' parses as (101, 0), not (10, 10).
+    This matches the reference's behavior exactly; its datasets only use
+    signed or single-digit-tilt names ('10-20', '-15-5') where the split
+    is unambiguous."""
     m = re.match(r"^(-?\d+)(-?\d+)$", name)
     if not m:
         return None

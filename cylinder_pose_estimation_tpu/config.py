@@ -122,18 +122,29 @@ class DetectConfig:
     # in-VMEM label propagation).  The XLA path (False) is the portable
     # reference implementation used by CPU tests.
     use_pallas: bool = False
-    pallas_cc_rounds: int = 6    # CC rounds (pools + row/col segmented scans);
+    pallas_cc_rounds: int = 4    # CC rounds (pools + row/col segmented scans);
                                  # convergence needs O(direction changes) --
                                  # bridged laser-grid lines are monotone
-                                 # curves, 6 is exact on the bench scenes
-                                 # (A/B parity 32/32) with ~2x margin; each
-                                 # round costs ~0.18 ms/frame/launch on v5e
+                                 # curves.  Measured exact (A/B vs converged
+                                 # XLA labels: 448/448 pts, 0.0 px over 16
+                                 # scenes) at 4 rounds; 6 was the old 2x-
+                                 # margin setting, each round ~0.07 ms/frame
+                                 # at half-res on v5e.  Raise if scenes with
+                                 # more direction changes ever miss parity.
     pallas_cc_rounds_prebridge: int = 3  # the pre-bridge labeling sees only
                                  # un-bridged line fragments (smooth arcs, no
                                  # bends): fewer rounds converge; A/B parity
                                  # vs the fully-converged XLA labels is the
                                  # check that this stays exact
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
+    stage_probe: str = ""        # profiling only: truncate detect_grid after
+                                 # the named stage (preprocess/centroids/roi/
+                                 # seed/carve/bridge/labels/assign/polyfit/
+                                 # newton) and return a scalar probe instead
+                                 # of a DetectResult.  Static -> each value
+                                 # compiles a prefix of the pipeline; stage
+                                 # cost = diff of consecutive probe timings
+                                 # (see utils/profiling.py).
 
     @property
     def mode(self) -> str:

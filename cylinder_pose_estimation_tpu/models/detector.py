@@ -537,7 +537,7 @@ def _bridge_pair(
     h_img, w_img = mh.shape
     ds = cfg.label_downsample
     masks = jnp.stack([mh, mv])
-    rounds = max(3, int(cfg.pallas_cc_rounds_prebridge))
+    rounds = max(1, int(cfg.pallas_cc_rounds_prebridge))
     for _ in range(cfg.bridge_repeats):
         small = (
             jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
@@ -814,7 +814,20 @@ def detect_grid(
         sat_mask = None
         bright_center = None
         bright_index = None
+    # Profiling probes (cfg.stage_probe, static): return a scalar that
+    # depends on everything computed so far; consecutive-stage timing diffs
+    # give the per-stage cost without duplicating the pipeline in a harness.
+    def _probe(*arrs):
+        out = jnp.float32(0.0)
+        for a in arrs:
+            out = out + jnp.sum(a.astype(jnp.float32))
+        return out
+
+    if cfg.stage_probe == "preprocess":
+        return _probe(binary, h_mask, v_mask, joints)
     cents, cvalid = _joint_centroids(joints, cfg)
+    if cfg.stage_probe == "centroids":
+        return _probe(cents, cvalid)
 
     # 3.+5a. ROI + saturation-blob labeling share ONE lowres CC launch: the
     # detector needs exactly two quarter-res labelings per image, and separate
@@ -839,22 +852,30 @@ def detect_grid(
     else:
         roi = _roi_plane_from_labels(roi_th, roi_labels, cfg)  # type: ignore[arg-type]
     bbox = _bbox_of(roi)
+    if cfg.stage_probe == "roi":
+        return _probe(cents, roi, bbox)
 
     # 4. center seed
     center, seed_radius, inside = _center_seed(
         cents, cvalid, gray, bbox, cfg, bright_img=bright_center
     )
+    if cfg.stage_probe == "seed":
+        return _probe(cents, center, seed_radius, inside)
 
     # 5. saturation carve
     mh, mv, circle_radius0 = _saturation_carve(
         gray, h_mask, v_mask, roi, cfg,
         sat=sat_mask, sat_small=sat_small, sat_labels=sat_labels,
     )
+    if cfg.stage_probe == "carve":
+        return _probe(cents, inside, mh, mv, circle_radius0)
 
     # 6a. bridge lines
     kernel_len = jnp.asarray(cfg.bridge_kernel_base, jnp.float32) + circle_radius0
     max_kernel = cfg.bridge_kernel_base + 160
     h_exp, v_exp = _bridge_pair(mh, mv, kernel_len, max_kernel, cfg)
+    if cfg.stage_probe == "bridge":
+        return _probe(cents, inside, h_exp, v_exp)
 
     # 6b. label rows/cols and assign centroids (one batched launch on Pallas;
     # labeling at 1/label_downsample resolution -- labels are only grouping
@@ -872,15 +893,19 @@ def detect_grid(
 
         hv_labels = cc_pallas(
             hv_masks,
-            rounds=max(4, int(cfg.pallas_cc_rounds)),
+            rounds=max(1, int(cfg.pallas_cc_rounds)),
             interpret=cfg.pallas_interpret,
         )
         h_labels, v_labels = hv_labels[0], hv_labels[1]
     else:
         h_labels = _cc(hv_masks[0], cfg.cc_iters, cfg)
         v_labels = _cc(hv_masks[1], cfg.cc_iters, cfg)
+    if cfg.stage_probe == "labels":
+        return _probe(cents, inside, h_labels, v_labels)
     row_of, row_ok, _ = _assign_labels(h_labels, cents, inside, cfg.max_rows, scale=ds)
     col_of, col_ok, _ = _assign_labels(v_labels, cents, inside, cfg.max_cols, scale=ds)
+    if cfg.stage_probe == "assign":
+        return _probe(cents, row_of, row_ok, col_of, col_ok)
 
     # 6c. per-label polynomial fits (rows + cols in one batched solve)
     (
@@ -907,6 +932,9 @@ def detect_grid(
             cents, col_of, col_ok, cfg.max_cols, cfg.poly_degree,
             cfg.domain_margin, True,
         )
+
+    if cfg.stage_probe == "polyfit":
+        return _probe(row_coeffs, row_valid, col_coeffs, col_valid, row_dom, col_dom)
 
     # 6c'. optional subpixel refinement of the fitted curves toward the
     # grayscale center of gravity (the reference ships this but keeps it off
@@ -959,6 +987,9 @@ def detect_grid(
         & residual_ok
         & jnp.isfinite(xi) & jnp.isfinite(yi)
     )
+
+    if cfg.stage_probe == "newton":
+        return _probe(xi, yi, accept)
 
     # 6f. relabel by position (ref clean_and_relabel :1154-1206)
     any_row = jnp.any(accept, axis=1)

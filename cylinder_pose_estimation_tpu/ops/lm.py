@@ -60,8 +60,10 @@ def levenberg_marquardt(
     eye = jnp.eye(p_dim, dtype=dtype)
 
     def step(_, carry):
-        p, cost, lam, n_acc = carry
-        r = residual_fn(p)
+        # r is carried from the last accepted evaluation: residual_fn(p) is
+        # deterministic, so re-evaluating it at an unchanged p is pure waste
+        # (one of three residual evals per step, exact same iterates).
+        p, r, cost, lam, n_acc = carry
         j = jax.jacfwd(residual_fn)(p)  # (N, P)
         jw = j * w[:, None]
         jtj = j.T @ jw
@@ -70,23 +72,26 @@ def levenberg_marquardt(
         damp = lam * (jnp.diagonal(jtj) + 1e-12)
         delta = jnp.linalg.solve(jtj + damp * eye, -jtr)
         p_new = p + delta
-        cost_new = cost_of(residual_fn(p_new))
+        r_new = residual_fn(p_new)
+        cost_new = cost_of(r_new)
         accept = (cost_new < cost) & jnp.all(jnp.isfinite(p_new))
         p = jnp.where(accept, p_new, p)
+        r = jnp.where(accept, r_new, r)
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.where(accept, lam / lambda_down, lam * lambda_up)
         lam = jnp.clip(lam, 1e-12, 1e12)
         n_acc = n_acc + accept.astype(jnp.int32)
-        return (p, cost, lam, n_acc)
+        return (p, r, cost, lam, n_acc)
 
     # Derive the scalar carries from cost0 so they inherit its varying-axes
     # metadata under shard_map (a literal lambda0 would be 'unvarying' while
     # the body output varies over the mapped axis, breaking the fori_loop).
     init = (
         params0,
+        r0,
         cost0,
         jnp.full_like(cost0, lambda0),
         jnp.zeros_like(cost0, dtype=jnp.int32),
     )
-    p, cost, _, n_acc = jax.lax.fori_loop(0, iters, step, init)
+    p, _, cost, _, n_acc = jax.lax.fori_loop(0, iters, step, init)
     return LMResult(params=p, cost0=cost0, cost=cost, n_accepted=n_acc)

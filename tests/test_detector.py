@@ -183,3 +183,16 @@ def test_detection_with_subpixel_refinement():
     e1, n1 = errs_of(refined)
     assert n1 >= n0 - 4
     assert np.median(e1) < np.median(e0) + 0.3
+
+
+def test_stage_probe_truncations_trace():
+    """cfg.stage_probe truncates detect_grid to a scalar probe at every
+    named stage (profiling contract; see config.DetectConfig.stage_probe)."""
+    from cylinder_pose_estimation_tpu.models.detector import detect_grid as dg
+
+    img = jax.ShapeDtypeStruct((480, 640), jnp.float32)
+    for st in ("preprocess", "centroids", "roi", "seed", "carve", "bridge",
+               "labels", "assign", "polyfit", "newton"):
+        cfg = CylinderDetectConfig(stage_probe=st)
+        out = jax.eval_shape(lambda im, cfg=cfg: dg(im, cfg), img)
+        assert out.shape == () and out.dtype == jnp.float32, st

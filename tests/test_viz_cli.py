@@ -98,6 +98,9 @@ def test_parse_img_info():
     assert cli.parse_img_info("-15-5") == (-15.0, -5.0)
     assert cli.parse_img_info("00") == (0.0, 0.0)
     assert cli.parse_img_info("frame1") is None
+    # Greedy-first-group ambiguity, documented + matching the reference:
+    # unsigned multi-digit pairs split as (all-but-last, last).
+    assert cli.parse_img_info("1010") == (101.0, 0.0)
 
 
 def test_cli_detect_folder(tmp_path):
