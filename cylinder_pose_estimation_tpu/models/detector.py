@@ -105,6 +105,7 @@ def _to_gray(image: jnp.ndarray, dtype) -> jnp.ndarray:
 def _joint_centroids(
     joints: jnp.ndarray, cfg: DetectConfig, window: int = 11,
     peak_iters: int = 8,
+    precomputed: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Joint-blob centroids via per-blob peak extraction, no labeling needed.
 
@@ -126,29 +127,39 @@ def _joint_centroids(
     ``peak_iters`` bounds the blob graph-radius (8 covers blobs up to
     ~17 px across; blobs are the AND of two <=9 px line masks).
 
+    ``precomputed``: optional (peak 0/1 float, cx, cy) full-res images from
+    the fused Pallas kernel (ops/pallas/frontend.preprocess_binarize) --
+    identical math in one VMEM pass; this function then only runs the
+    block-reduce compaction (the 16 full-res XLA max passes below were
+    measured at ~0.7 ms/frame(2v) on v5e, the kernel version ~free).
+
     Returns (centroids (P, 2) float, valid (P,)) with P = cfg.max_points.
     """
     h, w = joints.shape
     hw = h * w
-    f = joints.astype(jnp.float32)
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
-    cnt = box_filter(f, window, mode="constant", normalize=False)
-    sx = box_filter(f * xx, window, mode="constant", normalize=False)
-    sy = box_filter(f * yy, window, mode="constant", normalize=False)
     lin = (jnp.arange(hw, dtype=jnp.int32)).reshape(h, w)
-    # Unique per-pixel key: count-dominant, linear-index tie-break.
-    key = cnt.astype(jnp.int32) * (1 << 19) + lin
-    neg = jnp.iinfo(jnp.int32).min
-    km = jnp.where(joints, key, neg)
-    for _ in range(peak_iters):
-        km = jax.lax.reduce_window(km, neg, jax.lax.max, (3, 1), (1, 1), "SAME")
-        km = jax.lax.reduce_window(km, neg, jax.lax.max, (1, 3), (1, 1), "SAME")
-        km = jnp.where(joints, km, neg)
-    peak = joints & (key == km)
-    c = jnp.maximum(cnt, 1.0)
-    cx = jnp.floor(sx / c)
-    cy = jnp.floor(sy / c)
+    if precomputed is not None:
+        peak_f, cx, cy = precomputed
+        peak = peak_f > 0.5
+    else:
+        f = joints.astype(jnp.float32)
+        yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+        cnt = box_filter(f, window, mode="constant", normalize=False)
+        sx = box_filter(f * xx, window, mode="constant", normalize=False)
+        sy = box_filter(f * yy, window, mode="constant", normalize=False)
+        # Unique per-pixel key: count-dominant, linear-index tie-break.
+        key = cnt.astype(jnp.int32) * (1 << 19) + lin
+        neg = jnp.iinfo(jnp.int32).min
+        km = jnp.where(joints, key, neg)
+        for _ in range(peak_iters):
+            km = jax.lax.reduce_window(km, neg, jax.lax.max, (3, 1), (1, 1), "SAME")
+            km = jax.lax.reduce_window(km, neg, jax.lax.max, (1, 3), (1, 1), "SAME")
+            km = jnp.where(joints, km, neg)
+        peak = joints & (key == km)
+        c = jnp.maximum(cnt, 1.0)
+        cx = jnp.floor(sx / c)
+        cy = jnp.floor(sy / c)
     # Compact peak positions via a 4x4 block-reduce before the (costly)
     # nonzero: distinct blobs' peaks sit near their blob centers, so two
     # peaks share a 4x4 block only when two blob centers are < 4 px apart
@@ -473,6 +484,58 @@ def _bridge_angle_exp(
     return angle, exp_img
 
 
+def _bridge_angle_exp_pair(
+    outs: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: DetectConfig,
+    scale: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """_bridge_angle_exp for the h/v mask pair in ONE batched stats launch.
+
+    Numerically identical to two _bridge_angle_exp calls (vmap is
+    elementwise over the pair axis; h gets base angle 0, v gets pi/2) but
+    the component-stats one-hot matmuls and the (HW, K) gate compare run as
+    a single (2, ...)-batched launch instead of two -- the stats payload
+    reads amortize and the dispatch count halves.
+
+    outs/labels: (2, Hs, Ws).  Returns (angles (2,), exp_imgs (2, Hs, Ws)).
+    """
+    n, hgt, wdt = outs.shape
+    base = jnp.asarray([0.0, jnp.pi / 2], jnp.float32)
+    stats = jax.vmap(
+        lambda l: labeling.component_stats_first_k(
+            l,
+            k=_MAX_COMPONENTS,
+            min_area=4 if scale == 1 else 2,
+            compute_bbox=False,
+        )
+    )(labels)
+    ang = jax.vmap(labeling.component_orientation)(stats)  # (2, K)
+    ang = ang - base[:, None]
+    ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
+    ang = jnp.where(ang > jnp.pi / 2, ang - jnp.pi, ang)
+    ang = jnp.where(ang <= -jnp.pi / 2, ang + jnp.pi, ang)
+    half_tr = 0.5 * (stats.mxx + stats.myy)
+    half_df = 0.5 * (stats.mxx - stats.myy)
+    lam_max = half_tr + jnp.sqrt(half_df * half_df + stats.mxy * stats.mxy)
+    diag = float(scale) * jnp.sqrt(12.0 * jnp.maximum(lam_max, 0.0))
+    gate_med = stats.valid & (diag >= cfg.bridge_min_len) & (
+        diag <= cfg.bridge_max_len
+    )
+    med = jnp.nanmedian(jnp.where(gate_med, ang, jnp.nan), axis=1)  # (2,)
+    angle = jnp.where(jnp.isnan(med), 0.0, med) + base
+    if cfg.bridge_skip_long:
+        max_diag = jnp.max(jnp.where(stats.valid, diag, 0.0), axis=1, keepdims=True)
+        expandable = stats.valid & (diag <= cfg.bridge_long_frac * max_diag)
+        hit = (
+            labels.reshape(n, -1)[:, :, None] == stats.root[:, None, :]
+        ) & expandable[:, None, :]
+        exp_img = jnp.any(hit, axis=-1).reshape(n, hgt, wdt)
+    else:
+        exp_img = outs
+    return angle, exp_img
+
+
 def _bridge(
     mask: jnp.ndarray,
     base_angle: float,
@@ -547,9 +610,8 @@ def _bridge_pair(
         labels = cc_pallas(
             small, rounds=rounds, interpret=cfg.pallas_interpret
         )
-        angle_h, exp_h = _bridge_angle_exp(small[0], labels[0], 0.0, cfg, scale=ds)
-        angle_v, exp_v = _bridge_angle_exp(
-            small[1], labels[1], jnp.pi / 2, cfg, scale=ds
+        (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_pair(
+            small, labels, cfg, scale=ds
         )
         if ds == 2:
             exp_h = _upsample2(exp_h, h_img, w_img)
@@ -591,24 +653,31 @@ def _assign_labels(
     roots = jnp.where(assigned, best, hw)
     # Slot retention is by member count (centroids on the component), not
     # scan order: with more components than capacity, small clutter fragments
-    # must not evict true grid lines.  Unique roots + counts via sort.
+    # must not evict true grid lines.  Dominance counting over the (P, P)
+    # compare matrix replaces the previous 3-sorts + argsort + searchsorted
+    # formulation: P ~ 512, so every step is a cheap VPU reduction while
+    # each 512-sort is ~10 latency-bound sorting-network stages.
     p = roots.shape[0]
-    sr = jnp.sort(roots)
     pos = jnp.arange(p, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), sr[1:] != sr[:-1]]) & (
-        sr < hw
+    eq = (roots[:, None] == roots[None, :]) & assigned[None, :]  # (P, P)
+    count = jnp.sum(eq, axis=1)  # members per root (0 for unassigned rows)
+    is_first = assigned & (
+        jnp.sum(eq & (pos[None, :] < pos[:, None]), axis=1) == 0
     )
-    starts = jnp.sort(jnp.where(is_start, pos, p))
-    ends = jnp.concatenate([starts[1:], jnp.asarray([p], starts.dtype)])
-    n_assigned = jnp.sum((sr < hw).astype(jnp.int32))
-    count = jnp.clip(jnp.minimum(ends, n_assigned) - starts, 0, p)
-    uroot = jnp.where(starts < p, sr[jnp.clip(starts, 0, p - 1)], hw)
-    keep = jnp.argsort(-count)[:capacity]
-    slot_roots = jnp.sort(jnp.where(count[keep] > 0, uroot[keep], hw))
-    slot_valid = slot_roots < hw
-    slot_of = jnp.searchsorted(slot_roots, roots)
+    # Keep the top-`capacity` distinct roots by (count desc, root asc) --
+    # identical to the old stable argsort(-count) over ascending uniques.
+    better = is_first[None, :] & (
+        (count[None, :] > count[:, None])
+        | ((count[None, :] == count[:, None]) & (roots[None, :] < roots[:, None]))
+    )
+    kept = is_first & (jnp.sum(better, axis=1) < capacity)
+    # Slot ids: rank of the root among kept roots, ascending.
+    root_lt = kept[None, :] & (roots[None, :] < roots[:, None])
+    slot_of = jnp.sum(root_lt, axis=1).astype(jnp.int32)
+    ok = assigned & jnp.any(eq & kept[None, :], axis=1)
+    n_kept = jnp.sum(kept.astype(jnp.int32))
+    slot_valid = jnp.arange(capacity) < n_kept
     slot_of = jnp.clip(slot_of, 0, capacity - 1)
-    ok = assigned & (slot_roots[slot_of] == roots)
     return jnp.where(ok, slot_of, capacity - 1), ok, slot_valid
 
 
@@ -761,7 +830,10 @@ def detect_grid(
         assert cfg.height % 8 == 0 and cfg.width % 128 == 0, (
             "pallas front-end needs TPU-tiled image shapes"
         )
-        b_f, h_f, v_f, j_f, sat_f, bright_center, bright_index = (
+        (
+            b_f, h_f, v_f, j_f, sat_f, bright_center, bright_index,
+            joint_peak, joint_cx, joint_cy,
+        ) = (
             preprocess_binarize(
                 gray,
                 blur_ksize=cfg.blur_ksize,
@@ -785,6 +857,7 @@ def detect_grid(
         v_mask = v_f > 0.5
         joints = j_f > 0.5
         sat_mask = sat_f > 0.5
+        joint_pre = (joint_peak, joint_cx, joint_cy)
     else:
         blurred = gaussian_blur_cv(gray.astype(dtype), cfg.blur_ksize)
         binary = binarize_ridges(
@@ -814,6 +887,7 @@ def detect_grid(
         sat_mask = None
         bright_center = None
         bright_index = None
+        joint_pre = None
     # Profiling probes (cfg.stage_probe, static): return a scalar that
     # depends on everything computed so far; consecutive-stage timing diffs
     # give the per-stage cost without duplicating the pipeline in a harness.
@@ -825,7 +899,7 @@ def detect_grid(
 
     if cfg.stage_probe == "preprocess":
         return _probe(binary, h_mask, v_mask, joints)
-    cents, cvalid = _joint_centroids(joints, cfg)
+    cents, cvalid = _joint_centroids(joints, cfg, precomputed=joint_pre)
     if cfg.stage_probe == "centroids":
         return _probe(cents, cvalid)
 

@@ -122,6 +122,9 @@ def _preprocess_kernel(
     sat_ref,
     bright_center_ref,
     bright_index_ref,
+    joint_peak_ref,
+    joint_cx_ref,
+    joint_cy_ref,
     *,
     k5: tuple,
     k25: tuple,
@@ -136,6 +139,8 @@ def _preprocess_kernel(
     center_patch: int,
     k7: tuple,
     index_patch: int,
+    joint_window: int,
+    joint_peak_iters: int,
 ):
     g0 = gray_ref[:]
     h, w = g0.shape
@@ -221,7 +226,36 @@ def _preprocess_kernel(
     binary_ref[:] = bf
     h_ref[:] = h_open
     v_ref[:] = v_open
-    joints_ref[:] = jnp.minimum(h_open, v_open)
+    joints = jnp.minimum(h_open, v_open)
+    joints_ref[:] = joints
+
+    # Joint-blob peak extraction + box centroids, fused into the same VMEM
+    # pass (the algorithm and its exactness argument live in
+    # models/detector._joint_centroids; this is the identical math).  All
+    # sums are integer-valued and < 2^24, so f32 accumulation is exact and
+    # roll-order-independent; circular wrap is harmless because the line
+    # masks carry a `margin`-wide zero band, so every wrapped read lands on
+    # masked (zero / neg-key) content.
+    cnt = _box_sum_roll(joints, joint_window, 1)
+    cnt = _box_sum_roll(cnt, joint_window, 0)
+    colsf = cols.astype(jnp.float32)
+    rowsf = rows.astype(jnp.float32)
+    sx = _box_sum_roll(joints * colsf, joint_window, 1)
+    sx = _box_sum_roll(sx, joint_window, 0)
+    sy = _box_sum_roll(joints * rowsf, joint_window, 1)
+    sy = _box_sum_roll(sy, joint_window, 0)
+    c = jnp.maximum(cnt, 1.0)
+    joint_cx_ref[:] = jnp.floor(sx / c)
+    joint_cy_ref[:] = jnp.floor(sy / c)
+    lin = rows * w + cols
+    key = cnt.astype(jnp.int32) * (1 << 19) + lin
+    neg = jnp.iinfo(jnp.int32).min
+    km = jnp.where(joints > 0.5, key, neg)
+    for _ in range(joint_peak_iters):
+        km = jnp.maximum(km, jnp.maximum(_roll(km, 1, 0), _roll(km, -1, 0)))
+        km = jnp.maximum(km, jnp.maximum(_roll(km, 1, 1), _roll(km, -1, 1)))
+        km = jnp.where(joints > 0.5, km, neg)
+    joint_peak_ref[:] = jnp.where(km == key, 1.0, 0.0) * joints
 
 
 @functools.partial(
@@ -240,6 +274,8 @@ def _preprocess_kernel(
         "center_patch",
         "index_blur_ksize",
         "index_patch",
+        "joint_window",
+        "joint_peak_iters",
         "interpret",
     ),
 )
@@ -258,15 +294,19 @@ def preprocess_binarize(
     center_patch: int = 11,
     index_blur_ksize: int = 7,
     index_patch: int = 7,
+    joint_window: int = 11,
+    joint_peak_iters: int = 8,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Fused preprocess + binarize + openings + joints + side images.
 
     gray: (H, W) float32, H % 8 == 0, W % 128 == 0.
     Returns (binary, h_mask, v_mask, joints, sat_mask, bright_center,
-    bright_index): 0/1 float masks plus the two brightness box-mean images
-    the center-seed and indexing stages gather from.
-    """
+    bright_index, joint_peak, joint_cx, joint_cy): 0/1 float masks, the two
+    brightness box-mean images the center-seed and indexing stages gather
+    from, and the joint-blob peak mask + per-pixel box-centroid images
+    consumed by models/detector._joint_centroids (one peak per 8-connected
+    joint blob; gathering cx/cy at peaks yields the blob centroids)."""
     h, w = gray.shape
     kernel = functools.partial(
         _preprocess_kernel,
@@ -283,13 +323,15 @@ def preprocess_binarize(
         center_patch=center_patch,
         k7=_gauss_taps_cv(index_blur_ksize),
         index_patch=index_patch,
+        joint_window=joint_window,
+        joint_peak_iters=joint_peak_iters,
     )
-    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 7
+    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 10
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -38,7 +38,7 @@ def test_preprocess_binarize_matches_xla_interior():
     h_ref = np.asarray(morphology.open_rect(jnp.asarray(bin_ref), 1, 20))
     v_ref = np.asarray(morphology.open_rect(jnp.asarray(bin_ref), 20, 1))
 
-    b, hm, vm, j, sat, bc, bi = preprocess_binarize(g, interpret=True)
+    b, hm, vm, j, sat, bc, bi, jp, jcx, jcy = preprocess_binarize(g, interpret=True)
     b = np.asarray(b) > 0.5
     hm = np.asarray(hm) > 0.5
     vm = np.asarray(vm) > 0.5
@@ -55,6 +55,17 @@ def test_preprocess_binarize_matches_xla_interior():
     assert bc[37, 100] > bc[20, 50] + 30.0
     bi = np.asarray(bi)
     assert bi[37, 100] > bi[20, 50] + 20.0
+    # In-kernel joint peak/centroid images reproduce the XLA
+    # _joint_centroids exactly (same key propagation, exact f32 sums).
+    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig
+    from cylinder_pose_estimation_tpu.models.detector import _joint_centroids
+
+    cfg = CylinderDetectConfig()
+    joints = jnp.asarray(np.asarray(j) > 0.5)
+    c_x, v_x = _joint_centroids(joints, cfg)
+    c_p, v_p = _joint_centroids(joints, cfg, precomputed=(jp, jcx, jcy))
+    assert np.array_equal(np.asarray(v_x), np.asarray(v_p))
+    assert np.array_equal(np.asarray(c_x), np.asarray(c_p))
 
 
 def _canon(lab, mask):
