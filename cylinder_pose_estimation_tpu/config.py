@@ -122,21 +122,32 @@ class DetectConfig:
     # in-VMEM label propagation).  The XLA path (False) is the portable
     # reference implementation used by CPU tests.
     use_pallas: bool = False
-    pallas_cc_rounds: int = 4    # CC rounds (pools + row/col segmented scans);
+    pallas_cc_rounds: int = 3    # CC rounds (pools + row/col segmented scans);
                                  # convergence needs O(direction changes) --
                                  # bridged laser-grid lines are monotone
                                  # curves.  Measured exact (A/B vs converged
                                  # XLA labels: 448/448 pts, 0.0 px over 16
-                                 # scenes) at 4 rounds; 6 was the old 2x-
-                                 # margin setting, each round ~0.07 ms/frame
-                                 # at half-res on v5e.  Raise if scenes with
-                                 # more direction changes ever miss parity.
-    pallas_cc_rounds_prebridge: int = 3  # the pre-bridge labeling sees only
+                                 # scenes) at 3 rounds (sweep jobs 005/011);
+                                 # 6 was the original 2x-margin setting, each
+                                 # round ~0.05 ms/frame at half-res on v5e.
+                                 # Raise if scenes with more direction
+                                 # changes ever miss parity.
+    pallas_cc_rounds_prebridge: int = 2  # the pre-bridge labeling sees only
                                  # un-bridged line fragments (smooth arcs, no
-                                 # bends): fewer rounds converge; A/B parity
-                                 # vs the fully-converged XLA labels is the
-                                 # check that this stays exact
+                                 # bends): fewer rounds converge (2 measured
+                                 # exact, 1 was too within noise -- kept at 2
+                                 # for margin); A/B parity vs the fully-
+                                 # converged XLA labels is the check
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
+    bridge_half_res: bool = True  # run the bridge morphology kernel at
+                                 # label (half) resolution with kernel
+                                 # reach halved: bridged masks only feed
+                                 # the half-res labeling CC, so this
+                                 # quarters the dominant bridge cost.
+                                 # Parity-gated before adoption: 16-scene
+                                 # A/B vs both the full-res Pallas chain
+                                 # and the XLA chain is exact
+                                 # (448/448 pts, 0.0 px -- job 014).
     stage_probe: str = ""        # profiling only: truncate detect_grid after
                                  # the named stage (preprocess/centroids/roi/
                                  # seed/carve/bridge/labels/assign/polyfit/

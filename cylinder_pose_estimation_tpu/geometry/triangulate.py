@@ -5,10 +5,10 @@ ref utils/fitSingleCylinder.m:15, utils/chooseIdx.m:57,
 utils/triangulateWithThreshold.m:28) with a dense, vmappable DLT:
 
   * per point, the 4x4 DLT system rows are x*P3 - P1, y*P3 - P2 for both
-    views; the homogeneous solution is the eigenvector of A^T A with the
-    smallest eigenvalue.  A symmetric 4x4 eigendecomposition is far friendlier
-    to XLA/TPU than per-point SVD and is numerically equivalent for
-    well-conditioned stereo.
+    views; with w fixed to 1 (finite scene points) the spatial coordinates
+    solve a symmetric 3x3 normal system in closed form -- pure elementwise
+    arithmetic that XLA fuses into one kernel, far friendlier to TPU than
+    per-point SVD/eigh and equivalent for well-conditioned stereo.
   * the per-point reprojection error is the mean of the two views' Euclidean
     pixel errors, matching MATLAB triangulate's reprojectionErrors output that
     the reference thresholds on (ref utils/chooseIdx.m:66, 0.3 px).
@@ -60,11 +60,11 @@ def triangulate(
     which costs ~3 digits of float32 accuracy (mm-level error at 0.6 m range);
     normalized it recovers micron-level points without float64.
 
-    Invalid slots return ZERO points (not garbage): the regularized identity
-    system yields a homogeneous solution with w ~ 0, i.e. ~1e12-scale points
-    whose squares overflow float32 to inf/nan inside downstream masked sums
-    (masked weights multiply AFTER the squaring: inf * 0 = nan).  Zeroing
-    under the final mask keeps every masked consumer finite.
+    Invalid slots return ZERO points (not garbage): their normal system is
+    replaced by identity with a zero right-hand side, and the final mask
+    re-zeros anything non-finite -- downstream masked sums stay finite
+    (masked weights multiply AFTER squaring, so inf * 0 = nan must never be
+    produced).
     """
     dtype = xy1.dtype
     rt1 = jnp.concatenate([jnp.eye(3, dtype=dtype), jnp.zeros((3, 1), dtype)], axis=1)
@@ -77,24 +77,45 @@ def triangulate(
         return xn[..., :, :, None] * p[2][None, :] - p[:2]
 
     a = jnp.concatenate([rows(xn1, rt1), rows(xn2, rt2)], axis=-2)  # (..., M, 4, 4)
-    # Balance the homogeneous column: translations are mm-scale (~1e2) while
-    # the normalized-coordinate columns are O(1); scale the last column down
-    # so A^T A stays well-conditioned in float32.
-    scale = jnp.asarray([1.0, 1.0, 1.0, 0.01], dtype)
-    a = a * scale
-    ata = jnp.swapaxes(a, -1, -2) @ a
+    # Inhomogeneous DLT: finite scene points have w != 0, so fix w = 1 and
+    # least-squares the 3 spatial coordinates -- min |B X + c|^2 with
+    # B = A[..., :3], c = A[..., 3].  The normal equations are a symmetric
+    # 3x3 solved in closed form (adjugate/Cramer): pure elementwise
+    # arithmetic that fuses into one kernel, where the previous
+    # smallest-eigenvector-of-4x4 (jnp.linalg.eigh) cost ~0.3 ms/frame of
+    # batched QR iterations on v5e.  Estimator delta vs the homogeneous TLS
+    # form is far below the 1e-3 px parity budget for well-conditioned
+    # stereo (normalized coords keep B entries O(1)).
+    b = a[..., :, :3]
+    c = a[..., :, 3]
+    btb = jnp.swapaxes(b, -1, -2) @ b  # (..., M, 3, 3)
+    btc = jnp.sum(b * c[..., :, None], axis=-2)  # (..., M, 3)
     if valid is not None:
-        eye = jnp.eye(4, dtype=dtype)
-        ata = jnp.where(valid[..., None, None], ata, eye)
-    # Smallest-eigenvalue eigenvector of the symmetric 4x4.
-    _, vecs = jnp.linalg.eigh(ata)
-    xh = vecs[..., :, 0] * scale  # undo column balancing
-    w = xh[..., 3]
-    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    pts3 = xh[..., :3] / safe_w[..., None]
+        eye = jnp.eye(3, dtype=dtype)
+        btb = jnp.where(valid[..., None, None], btb, eye)
+        btc = jnp.where(valid[..., None], btc, 0.0)
+    m00, m01, m02 = btb[..., 0, 0], btb[..., 0, 1], btb[..., 0, 2]
+    m11, m12, m22 = btb[..., 1, 1], btb[..., 1, 2], btb[..., 2, 2]
+    c0 = m11 * m22 - m12 * m12
+    c1 = m02 * m12 - m01 * m22
+    c2 = m01 * m12 - m02 * m11
+    det = m00 * c0 + m01 * c1 + m02 * c2
+    a11 = m00 * m22 - m02 * m02
+    a12 = m01 * m02 - m00 * m12
+    a22 = m00 * m11 - m01 * m01
+    r0, r1, r2 = -btc[..., 0], -btc[..., 1], -btc[..., 2]
+    safe_det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    pts3 = jnp.stack(
+        [
+            (c0 * r0 + c1 * r1 + c2 * r2) / safe_det,
+            (c1 * r0 + a11 * r1 + a12 * r2) / safe_det,
+            (c2 * r0 + a12 * r1 + a22 * r2) / safe_det,
+        ],
+        axis=-1,
+    )
 
     err = reprojection_errors(pts3, xy1, xy2, stereo)
-    ok = jnp.isfinite(err) & (jnp.abs(w) > 1e-12)
+    ok = jnp.isfinite(err) & (jnp.abs(det) > 1e-20)
     if valid is not None:
         ok = ok & valid
     ok = ok & jnp.all(jnp.isfinite(pts3), axis=-1)

@@ -601,10 +601,22 @@ def _bridge_pair(
     ds = cfg.label_downsample
     masks = jnp.stack([mh, mv])
     rounds = max(1, int(cfg.pallas_cc_rounds_prebridge))
+    half = ds == 2 and getattr(cfg, "bridge_half_res", False)
+    if half:
+        # Run the ENTIRE bridge at label resolution: the bridged masks are
+        # only ever consumed through the half-res labeling CC (labels are
+        # grouping keys for the joint centroids), so bridging the pooled
+        # masks with a halved kernel reach connects the same fragments at a
+        # quarter of the morphology-kernel cost -- the dominant bridge item
+        # (0.34 of 0.63 ms/frame(2v), job 012).  The 16-scene A/B parity
+        # gate against the full-res XLA chain is the equivalence check.
+        masks = jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
+        kernel_len = kernel_len / 2.0
+        max_kernel_len = max(max_kernel_len // 2, 1)
     for _ in range(cfg.bridge_repeats):
         small = (
             jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
-            if ds == 2
+            if ds == 2 and not half
             else masks
         )
         labels = cc_pallas(
@@ -613,7 +625,7 @@ def _bridge_pair(
         (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_pair(
             small, labels, cfg, scale=ds
         )
-        if ds == 2:
+        if ds == 2 and not half:
             exp_h = _upsample2(exp_h, h_img, w_img)
             exp_v = _upsample2(exp_v, h_img, w_img)
         bridged = bridge_morphology(
@@ -956,9 +968,11 @@ def detect_grid(
     # keys for the centroids, and 2x2 pooling preserves component identity
     # for line masks spaced > 2 px apart)
     ds = cfg.label_downsample
-    if ds == 2:
+    if ds == 2 and not (cfg.use_pallas and getattr(cfg, "bridge_half_res", False)):
         hv_masks = jnp.stack([_pool2_pad(h_exp), _pool2_pad(v_exp)])
     else:
+        # bridge_half_res: _bridge_pair already returned masks on the
+        # half-res padded canvas; label them directly.
         hv_masks = jnp.stack([h_exp, v_exp])
     if cfg.use_pallas:
         from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
