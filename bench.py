@@ -66,7 +66,11 @@ def main() -> None:
         det = jax.vmap(lambda im: detect_grid(im, detect_cfg).grid.xy.sum())
         return det(a + k).sum() + det(b + k).sum()
 
-    reps = 8
+    # 32 in-jit repetitions: the tunnel's per-call dispatch+readback floor
+    # (measured drifting 5-30 ms/call) amortizes to < 0.06 ms/frame at B=16,
+    # approximating steady-state pipelined serving; every rep still sees a
+    # fresh scalar perturbation so no execution cache can fire.
+    reps = 32
 
     def timed(body, n_calls=3):
         @jax.jit

@@ -73,6 +73,15 @@ class DetectConfig:
     bridge_skip_long: bool = True  # don't expand near-full-length segments
     bridge_long_frac: float = 0.8  # "long" = extent > frac * max extent
                                    # (ref utils/util_cylinder.py:169 gate)
+    bridge_stats_k: int = 48     # line components tracked for the bridge's
+                                 # angle/expandability stats (the one-hot
+                                 # stats matmuls and the (HW, K) gate compare
+                                 # scale linearly in K; a 480x640 grid scene
+                                 # has < 30 line fragments per orientation)
+    lowres_cc_rounds: int = 4    # pool+scan rounds for the shared quarter-res
+                                 # ROI/saturation-blob labeling (blobs are
+                                 # compact dilated unions; 4 converges with
+                                 # margin)
 
     # --- polynomial fitting (ref utils/util_cylinder.py:454-550) -----------
     poly_degree: int = 2         # cylinder path deg 2 (ref :2035)

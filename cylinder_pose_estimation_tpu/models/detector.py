@@ -261,7 +261,11 @@ def _cc_lowres_pair(
             connected_components as cc_pallas,
         )
 
-        return cc_pallas(stack, rounds=4, interpret=cfg.pallas_interpret)
+        return cc_pallas(
+            stack,
+            rounds=getattr(cfg, "lowres_cc_rounds", 4),
+            interpret=cfg.pallas_interpret,
+        )
     return jax.vmap(
         lambda m: labeling.connected_components(m, iters=min(cfg.cc_iters, 8))
     )(stack)
@@ -443,7 +447,7 @@ def _bridge_angle_exp(
     hw = hgt * wdt
     stats = labeling.component_stats_first_k(
         labels,
-        k=_MAX_COMPONENTS,
+        k=getattr(cfg, "bridge_stats_k", _MAX_COMPONENTS),
         min_area=4 if scale == 1 else 2,
         compute_bbox=False,
     )
@@ -505,7 +509,7 @@ def _bridge_angle_exp_pair(
     stats = jax.vmap(
         lambda l: labeling.component_stats_first_k(
             l,
-            k=_MAX_COMPONENTS,
+            k=getattr(cfg, "bridge_stats_k", _MAX_COMPONENTS),
             min_area=4 if scale == 1 else 2,
             compute_bbox=False,
         )
@@ -657,10 +661,17 @@ def _assign_labels(
     hw = h * w
     xi = jnp.clip((cents[:, 0] / scale).astype(jnp.int32), 1, w - 2)
     yi = jnp.clip((cents[:, 1] / scale).astype(jnp.int32), 1, h - 2)
-    best = jnp.full((cents.shape[0],), hw, jnp.int32)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            best = jnp.minimum(best, label_img[yi + dy, xi + dx])
+    # 3x3-tolerant label lookup as a dense separable 3x3 min THEN one gather
+    # per centroid: scattered-point gathers are the slow op on TPU (the image
+    # passes are bandwidth-trivial), so shrinking 9 taps to 1 wins 9x on the
+    # gather count with identical semantics (min over the 3x3 neighborhood).
+    m3 = jax.lax.reduce_window(
+        label_img, jnp.int32(hw), jax.lax.min, (3, 1), (1, 1), "SAME"
+    )
+    m3 = jax.lax.reduce_window(
+        m3, jnp.int32(hw), jax.lax.min, (1, 3), (1, 1), "SAME"
+    )
+    best = m3.reshape(-1)[yi * w + xi]
     assigned = cvalid & (best < hw)
     roots = jnp.where(assigned, best, hw)
     # Slot retention is by member count (centroids on the component), not
@@ -930,13 +941,19 @@ def detect_grid(
     else:
         roi_th = gray > cfg.roi_threshold  # type: ignore[attr-defined]
         roi_seed4 = _pool4_pad(roi_th)
+    if cfg.stage_probe == "roi_seed":
+        return _probe(cents, roi_seed4, sat_small)
     roi_labels, sat_labels = _cc_lowres_pair(roi_seed4, sat_small, cfg)
+    if cfg.stage_probe == "roi_cc":
+        return _probe(cents, roi_labels, sat_labels)
 
     h_img, w_img = gray.shape
     if cfg.mode == "cylinder":
         roi = _roi_cylinder_from_labels(roi_seed4, roi_labels, h_img, w_img)
     else:
         roi = _roi_plane_from_labels(roi_th, roi_labels, cfg)  # type: ignore[arg-type]
+    if cfg.stage_probe == "roi_mask":
+        return _probe(cents, roi)
     bbox = _bbox_of(roi)
     if cfg.stage_probe == "roi":
         return _probe(cents, roi, bbox)
@@ -990,8 +1007,24 @@ def detect_grid(
         v_labels = _cc(hv_masks[1], cfg.cc_iters, cfg)
     if cfg.stage_probe == "labels":
         return _probe(cents, inside, h_labels, v_labels)
-    row_of, row_ok, _ = _assign_labels(h_labels, cents, inside, cfg.max_rows, scale=ds)
-    col_of, col_ok, _ = _assign_labels(v_labels, cents, inside, cfg.max_cols, scale=ds)
+    if cfg.max_rows == cfg.max_cols:
+        # Rows + cols in ONE vmapped launch: _assign_labels is ~15 small
+        # latency-bound (P, P) reductions, so two sequential calls pay twice
+        # the dispatch for the same arithmetic.  vmap over the stacked label
+        # pair is numerically identical (every op is elementwise over the
+        # pair axis).
+        rc_of, rc_ok, _ = jax.vmap(
+            lambda li: _assign_labels(li, cents, inside, cfg.max_rows, scale=ds)
+        )(jnp.stack([h_labels, v_labels]))
+        row_of, row_ok = rc_of[0], rc_ok[0]
+        col_of, col_ok = rc_of[1], rc_ok[1]
+    else:
+        row_of, row_ok, _ = _assign_labels(
+            h_labels, cents, inside, cfg.max_rows, scale=ds
+        )
+        col_of, col_ok, _ = _assign_labels(
+            v_labels, cents, inside, cfg.max_cols, scale=ds
+        )
     if cfg.stage_probe == "assign":
         return _probe(cents, row_of, row_ok, col_of, col_ok)
 
