@@ -73,6 +73,12 @@ class DetectConfig:
     bridge_skip_long: bool = True  # don't expand near-full-length segments
     bridge_long_frac: float = 0.8  # "long" = extent > frac * max extent
                                    # (ref utils/util_cylinder.py:169 gate)
+    bridge_endpoint_stats: bool = False  # Pallas path only: derive the
+                                 # bridge's per-component angle/extent from
+                                 # scan-order endpoints (dual-channel CC
+                                 # kernel) instead of second moments --
+                                 # removes every (H*W, K) one-hot pass and
+                                 # the K component capacity from the bridge
     bridge_stats_k: int = 48     # line components tracked for the bridge's
                                  # angle/expandability stats (the one-hot
                                  # stats matmuls and the (HW, K) gate compare

@@ -540,6 +540,130 @@ def _bridge_angle_exp_pair(
     return angle, exp_img
 
 
+def _masked_kth_smallest(
+    vals: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: jnp.ndarray,
+    lo: float,
+    hi: float,
+    iters: int = 30,
+) -> jnp.ndarray:
+    """k-th (0-based) smallest masked value by counting binary search.
+
+    No sort, no compaction: each step halves the value interval and counts
+    elements below the midpoint (one masked reduction), so the cost is
+    ``iters`` cheap passes over ``vals`` instead of an O(N log N) sort --
+    on TPU a full sort of the label canvas costs ~10 ms while 30 fused
+    count-reductions are ~microseconds.  Converges to the k-th value within
+    (hi - lo) / 2^iters, ample for an angle that only steers morphology
+    shift rounding."""
+
+    def body(_, lohi):
+        lo_c, hi_c = lohi
+        mid = 0.5 * (lo_c + hi_c)
+        cnt = jnp.sum(jnp.where(mask & (vals <= mid), 1, 0))
+        take_lo = cnt >= k + 1
+        return jnp.where(take_lo, lo_c, mid), jnp.where(take_lo, mid, hi_c)
+
+    lo_f, hi_f = jax.lax.fori_loop(
+        0, iters, body, (jnp.float32(lo), jnp.float32(hi))
+    )
+    return hi_f
+
+
+def _bridge_angle_exp_endpoint_pair(
+    outs: jnp.ndarray,
+    pmin: jnp.ndarray,
+    pmax: jnp.ndarray,
+    cfg: DetectConfig,
+    scale: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """_bridge_angle_exp_pair from per-component ENDPOINTS instead of
+    second moments -- no (H*W, K) one-hot reductions, no component capacity.
+
+    The payload-minmax CC kernel (pallas.frontend.component_payload_minmax)
+    gives every pixel its component's extreme pixels in a per-orientation
+    scan order: COLUMN-major for the near-horizontal mask (extremes =
+    leftmost/rightmost pixel) and row-major for the near-vertical one
+    (topmost/bottommost) -- the true segment endpoints even for curved
+    fragments, where plain row-major extremes would sit at a curve's apex.
+    The endpoint chord is the reference's own length measure (PCA endpoint
+    distance, ref get_pca_endpoints utils/util_cylinder.py:35-55) and its
+    direction the segment angle; the per-pixel expandability gate and the
+    component count become pure elementwise maps, and the global median
+    angle a counting binary search over the (unique) payload-min pixels.
+    Deviations from the moment form (chord vs PCA axis on curved fragments)
+    only nudge a MEDIAN and px-scale threshold gates; the 16-scene A/B
+    parity gate against the XLA moment chain is the equivalence check.
+
+    outs: (2, Hs, Ws) masks; pmin/pmax: per-pixel component payload extremes
+    (payload built by _bridge_pair: x*H+y for program 0, y*W+x for 1).
+    Returns (angles (2,), exp (2, Hs, Ws)).
+    """
+    n, hgt, wdt = outs.shape
+    hw = hgt * wdt
+    base = jnp.asarray([0.0, jnp.pi / 2], jnp.float32)
+    in_mask = pmin < hw
+    # >= 2 pixels <=> distinct extreme pixels (the half-res min_area=2 gate
+    # of the moment path; full-res min_area=4 has no exact endpoint
+    # equivalent -- the pallas bridge always labels at half res).
+    multi = in_mask & (pmax > pmin)
+    # Decode endpoints: program 0 payload is column-major (p = x*H + y),
+    # program 1 row-major (p = y*W + x).
+    lo_f = pmin.astype(jnp.float32)
+    hi_f = pmax.astype(jnp.float32)
+    x0 = jnp.stack([jnp.floor_divide(pmin[0], hgt), jnp.mod(pmin[1], wdt)]).astype(jnp.float32)
+    y0 = jnp.stack([jnp.mod(pmin[0], hgt), jnp.floor_divide(pmin[1], wdt)]).astype(jnp.float32)
+    x1 = jnp.stack([jnp.floor_divide(pmax[0], hgt), jnp.mod(pmax[1], wdt)]).astype(jnp.float32)
+    y1 = jnp.stack([jnp.mod(pmax[0], hgt), jnp.floor_divide(pmax[1], wdt)]).astype(jnp.float32)
+    del lo_f, hi_f
+    dx = x1 - x0
+    dy = y1 - y0
+    ext = float(scale) * jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx)  # in [-pi, pi]; chord direction
+    ang = ang - base[:, None, None]
+    ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
+    ang = jnp.where(ang > jnp.pi / 2, ang - jnp.pi, ang)
+    ang = jnp.where(ang <= -jnp.pi / 2, ang + jnp.pi, ang)
+
+    pay = jnp.stack(
+        [
+            (jnp.arange(wdt, dtype=jnp.int32)[None, :] * hgt
+             + jnp.arange(hgt, dtype=jnp.int32)[:, None]),
+            (jnp.arange(hgt, dtype=jnp.int32)[:, None] * wdt
+             + jnp.arange(wdt, dtype=jnp.int32)[None, :]),
+        ]
+    )
+    is_root = in_mask & (pmin == pay)
+    band = (
+        multi & (ext >= cfg.bridge_min_len) & (ext <= cfg.bridge_max_len)
+    )
+    med_mask = is_root & band
+    cnt = jnp.sum(med_mask.reshape(n, -1), axis=1)  # (2,)
+
+    def median_one(vals, mask, m):
+        # nanmedian semantics: odd m -> middle element, even m -> mean of the
+        # two middles (k1 = ceil(m/2)-1, k2 = floor(m/2); equal when odd).
+        k1 = jnp.maximum((m + 1) // 2 - 1, 0)
+        k2 = jnp.maximum(m // 2, 0)
+        lo, hi = -float(jnp.pi) / 2 - 1e-3, float(jnp.pi) / 2 + 1e-3
+        v1 = _masked_kth_smallest(vals, mask, k1, lo, hi)
+        v2 = _masked_kth_smallest(vals, mask, k2, lo, hi)
+        return jnp.where(m > 0, 0.5 * (v1 + v2), 0.0)
+
+    med = jax.vmap(median_one)(ang.reshape(n, -1), med_mask.reshape(n, -1), cnt)
+    angle = med + base
+
+    if cfg.bridge_skip_long:
+        max_ext = jnp.max(
+            jnp.where(multi, ext, 0.0).reshape(n, -1), axis=1
+        )  # (2,)
+        exp_img = multi & (ext <= cfg.bridge_long_frac * max_ext[:, None, None])
+    else:
+        exp_img = outs > 0.5 if outs.dtype != jnp.bool_ else outs
+    return angle, exp_img
+
+
 def _bridge(
     mask: jnp.ndarray,
     base_angle: float,
@@ -617,18 +741,40 @@ def _bridge_pair(
         masks = jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
         kernel_len = kernel_len / 2.0
         max_kernel_len = max(max_kernel_len // 2, 1)
+    endpoint_stats = getattr(cfg, "bridge_endpoint_stats", False)
+    if endpoint_stats:
+        from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
+            component_payload_minmax,
+        )
     for _ in range(cfg.bridge_repeats):
         small = (
             jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
             if ds == 2 and not half
             else masks
         )
-        labels = cc_pallas(
-            small, rounds=rounds, interpret=cfg.pallas_interpret
-        )
-        (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_pair(
-            small, labels, cfg, scale=ds
-        )
+        if endpoint_stats:
+            hs, ws = small.shape[-2:]
+            pay = jnp.stack(
+                [
+                    (jnp.arange(ws, dtype=jnp.int32)[None, :] * hs
+                     + jnp.arange(hs, dtype=jnp.int32)[:, None]),
+                    (jnp.arange(hs, dtype=jnp.int32)[:, None] * ws
+                     + jnp.arange(ws, dtype=jnp.int32)[None, :]),
+                ]
+            )
+            pmin, pmax = component_payload_minmax(
+                small, pay, rounds=rounds, interpret=cfg.pallas_interpret
+            )
+            (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_endpoint_pair(
+                small.astype(jnp.float32), pmin, pmax, cfg, scale=ds
+            )
+        else:
+            labels = cc_pallas(
+                small, rounds=rounds, interpret=cfg.pallas_interpret
+            )
+            (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_pair(
+                small, labels, cfg, scale=ds
+            )
         if ds == 2 and not half:
             exp_h = _upsample2(exp_h, h_img, w_img)
             exp_v = _upsample2(exp_v, h_img, w_img)

@@ -567,6 +567,130 @@ def _cc_kernel(mask_ref, labels_ref, *, rounds: int, pools_per_round: int):
         labels_ref[:] = lab
 
 
+def _seg_max_scan_roll(lab, maskf, axis, n):
+    """_seg_min_scan_roll's max-semiring mirror: after the forward+backward
+    pair every pixel holds the MAX value of its contiguous in-mask run along
+    the axis (out-of-mask sources hold -1, the identity for non-negative
+    linear indices)."""
+    out = lab
+    for direction in (1, -1):
+        v = lab
+        clear = maskf
+        d = 1
+        while d < n:
+            vs = _roll(v, direction * d, axis)
+            cs = _roll(clear, direction * d, axis)
+            v = jnp.where(clear > 0.5, jnp.maximum(v, vs), v)
+            clear = clear * cs
+            d *= 2
+        out = jnp.maximum(out, v)
+    return out
+
+
+def _cc_payload_minmax_kernel(mask_ref, payload_ref, pmin_ref, pmax_ref, *,
+                              rounds: int, pools_per_round: int):
+    """Per-component min/max of an arbitrary int32 PAYLOAD image, by the same
+    pool + segmented-scan propagation as _cc_kernel.
+
+    The bridge feeds a per-orientation scan order as payload (column-major
+    for near-horizontal masks, row-major for near-vertical), so the min/max
+    pixels are each fragment's true endpoints even for curved segments
+    (row-major extremes of a curved row sit at its apex, not its ends).
+    From the endpoint pair the bridge derives per-component angle/extent
+    with NO (H*W, K) one-hot reductions (models/detector.
+    _bridge_angle_exp_endpoint_pair); the payload-min pixel doubles as a
+    unique component root.  Background pixels return BIG / -1."""
+    h, w = mask_ref.shape[-2:]
+    maskf = mask_ref[0] if mask_ref.ndim == 3 else mask_ref[:]
+    pay = payload_ref[0] if payload_ref.ndim == 3 else payload_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # Same 1-px anti-wrap border ring as _cc_kernel.
+    ring = (
+        jnp.where(rows >= 1, 1.0, 0.0)
+        * jnp.where(rows < h - 1, 1.0, 0.0)
+        * jnp.where(cols >= 1, 1.0, 0.0)
+        * jnp.where(cols < w - 1, 1.0, 0.0)
+    )
+    maskf = maskf * ring
+    mask = maskf > 0.5
+    big = jnp.asarray(h * w, jnp.int32)
+    lo0 = jnp.where(mask, pay, big)
+    hi0 = jnp.where(mask, pay, -1)
+
+    def pool(lo, hi):
+        mn, mx = lo, hi
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)):
+            mn = jnp.minimum(mn, _roll(_roll(lo, dy, 0), dx, 1))
+            mx = jnp.maximum(mx, _roll(_roll(hi, dy, 0), dx, 1))
+        return jnp.where(mask, mn, big), jnp.where(mask, mx, -1)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        for _ in range(pools_per_round):
+            lo, hi = pool(lo, hi)
+        lo = jnp.where(mask, _seg_min_scan_roll(lo, maskf, 1, w), big)
+        lo = jnp.where(mask, _seg_min_scan_roll(lo, maskf, 0, h), big)
+        hi = jnp.where(mask, _seg_max_scan_roll(hi, maskf, 1, w), -1)
+        hi = jnp.where(mask, _seg_max_scan_roll(hi, maskf, 0, h), -1)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, rounds, body, (lo0, hi0))
+    if pmin_ref.ndim == 3:
+        pmin_ref[0] = lo
+        pmax_ref[0] = hi
+    else:
+        pmin_ref[:] = lo
+        pmax_ref[:] = hi
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rounds", "pools_per_round", "interpret")
+)
+def component_payload_minmax(
+    mask: jnp.ndarray,
+    payload: jnp.ndarray,
+    rounds: int = 10,
+    pools_per_round: int = 4,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel min and max of ``payload`` over the pixel's 8-connected
+    component (same convergence schedule as connected_components; both
+    channels ride one kernel).  Returns (pmin, pmax); background pixels hold
+    (H*W, -1).  payload must be non-negative int32 < H*W."""
+    squeeze = mask.ndim == 2
+    if squeeze:
+        mask = mask[None]
+        payload = payload[None]
+    b, h, w = mask.shape
+    lo, hi = pl.pallas_call(
+        functools.partial(
+            _cc_payload_minmax_kernel, rounds=rounds,
+            pools_per_round=pools_per_round,
+        ),
+        grid=(b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(mask.astype(jnp.float32), payload.astype(jnp.int32))
+    if squeeze:
+        return lo[0], hi[0]
+    return lo, hi
+
+
 @functools.partial(
     jax.jit, static_argnames=("iters", "rounds", "pools_per_round", "interpret")
 )

@@ -159,3 +159,88 @@ def test_bridge_morphology_matches_xla_chain():
         assert (out_p[b] == ref).all(), f"mask {b} mismatch"
     # sanity: the horizontal gap actually got bridged
     assert out_p[0][40:43, 55:65].any()
+
+
+def test_component_payload_minmax_endpoints():
+    """Per-component payload extremes pick true endpoints for curved lines.
+
+    A U-shaped (near-horizontal) fragment's row-major extreme sits at its
+    apex; the column-major payload order used by the bridge's endpoint stats
+    must return the left/rightmost pixels instead."""
+    from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
+        component_payload_minmax,
+    )
+
+    h, w = 96, 128
+    m = np.zeros((h, w), bool)
+    xs = np.arange(20, 100)
+    # Shallow parabola (|slope| < 1 keeps one pixel per column 8-connected).
+    ys = (60 - 0.008 * (xs - 60.0) ** 2).astype(int)  # opens downward
+    m[ys, xs] = True
+    m[ys + 1, xs] = True  # 2-px thick, like the real dilated line masks
+    m[30:34, 110] = True  # a second, vertical fragment
+    pay_cm = (
+        np.arange(w, dtype=np.int32)[None, :] * h
+        + np.arange(h, dtype=np.int32)[:, None]
+    )
+    pmin, pmax = component_payload_minmax(
+        jnp.asarray(m), jnp.asarray(pay_cm), rounds=12, interpret=True
+    )
+    pmin, pmax = np.asarray(pmin), np.asarray(pmax)
+    # Background: (H*W, -1) sentinels.
+    assert (pmin[~m] == h * w).all() and (pmax[~m] == -1).all()
+    # Curved fragment: endpoints are its leftmost/rightmost pixels.
+    u = m.copy()
+    u[:, 105:] = False
+    uy, ux = np.nonzero(u)
+    left = np.flatnonzero(ux == ux.min())
+    right = np.flatnonzero(ux == ux.max())
+    exp_min = (ux.min() * h + uy[left].min())
+    exp_max = (ux.max() * h + uy[right].max())
+    assert (pmin[u] == exp_min).all() and (pmax[u] == exp_max).all()
+
+
+def test_endpoint_stats_matches_moment_stats():
+    """Bridge gates/angles from endpoint payload-minmax agree with the
+    moment-based component stats on straight and curved fragments."""
+    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig
+    from cylinder_pose_estimation_tpu.models.detector import (
+        _bridge_angle_exp_endpoint_pair,
+        _bridge_angle_exp_pair,
+    )
+    from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
+        component_payload_minmax,
+        connected_components,
+    )
+
+    cfg = CylinderDetectConfig(use_pallas=True, pallas_interpret=True)
+    h, w = 64, 128
+    m = np.zeros((2, h, w), np.float32)
+    m[0, 10, 10:100] = 1           # long horizontal
+    m[0, 30, 20:45] = 1            # short
+    xs = np.arange(50, 80)
+    m[0, (40 + 0.01 * (xs - 65.0) ** 2).astype(int), xs] = 1  # curved short
+    m[1, 5:60, 20] = 1             # long vertical
+    m[1, 10:30, 60] = 1
+    m[1, 35:55, 61] = 1
+    small = jnp.asarray(m) > 0.5
+
+    labels = connected_components(small, rounds=8, interpret=True)
+    (ah, av), (eh, ev) = _bridge_angle_exp_pair(small, labels, cfg, scale=2)
+
+    pay = jnp.stack(
+        [
+            jnp.arange(w, dtype=jnp.int32)[None, :] * h
+            + jnp.arange(h, dtype=jnp.int32)[:, None],
+            jnp.arange(h, dtype=jnp.int32)[:, None] * w
+            + jnp.arange(w, dtype=jnp.int32)[None, :],
+        ]
+    )
+    pmin, pmax = component_payload_minmax(small, pay, rounds=8, interpret=True)
+    (ah2, av2), (eh2, ev2) = _bridge_angle_exp_endpoint_pair(
+        jnp.asarray(m), pmin, pmax, cfg, scale=2
+    )
+    assert abs(float(ah) - float(ah2)) < 0.05
+    assert abs(float(av) - float(av2)) < 0.05
+    assert np.array_equal(np.asarray(eh), np.asarray(eh2))
+    assert np.array_equal(np.asarray(ev), np.asarray(ev2))
