@@ -147,10 +147,12 @@ class DetectConfig:
                                  # round ~0.05 ms/frame at half-res on v5e.
                                  # Raise if scenes with more direction
                                  # changes ever miss parity.
-    pallas_cc_rounds_prebridge: int = 2  # the pre-bridge labeling sees only
+    pallas_cc_rounds_prebridge: int = 1  # the pre-bridge labeling sees only
                                  # un-bridged line fragments (smooth arcs, no
-                                 # bends): fewer rounds converge (2 measured
-                                 # exact, 1 was too within noise -- kept at 2
+                                 # bends): one pool+scan round converges
+                                 # (16-scene A/B parity exact at 1, job 022;
+                                 # the stats it feeds tolerate split labels
+                                 # anyway -- fragments of one arc share angle
                                  # for margin); A/B parity vs the fully-
                                  # converged XLA labels is the check
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
