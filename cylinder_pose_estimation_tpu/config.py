@@ -79,15 +79,34 @@ class DetectConfig:
                                  # kernel) instead of second moments --
                                  # removes every (H*W, K) one-hot pass and
                                  # the K component capacity from the bridge
-    bridge_stats_k: int = 48     # line components tracked for the bridge's
+    bridge_stats_k: int = 32     # line components tracked for the bridge's
                                  # angle/expandability stats (the one-hot
                                  # stats matmuls and the (HW, K) gate compare
                                  # scale linearly in K; a 480x640 grid scene
-                                 # has < 30 line fragments per orientation)
-    lowres_cc_rounds: int = 4    # pool+scan rounds for the shared quarter-res
+                                 # has < 30 line fragments per orientation --
+                                 # at the bridge's half resolution fragments
+                                 # only merge, so 32 keeps margin; A/B parity
+                                 # exact, jobs 022/026)
+    lowres_cc_rounds: int = 3    # pool+scan rounds for the shared quarter-res
                                  # ROI/saturation-blob labeling (blobs are
-                                 # compact dilated unions; 4 converges with
-                                 # margin)
+                                 # compact dilated unions; 3 converges --
+                                 # A/B parity exact, jobs 020/026 -- and
+                                 # smaller scenes need fewer rounds, not more)
+    bridge_stats_quarter: bool = True  # compute the bridge's moment stats
+                                 # over 2x2-min-pooled labels (4x smaller
+                                 # one-hot passes; gates keep px meaning via
+                                 # a 2x moment rescale; A/B parity exact and
+                                 # -0.09 ms/frame, job 027)
+    pallas_cc_pools: int = 4     # 3x3 min-pools per CC round (diagonal/local
+                                 # hops between the row/col segmented scans)
+                                 # for the pre- and post-bridge labelings
+    roi_blob_k: int = 32         # component slots for the largest-blob ROI
+                                 # stats at quarter res (the (HW/16, K)
+                                 # one-hot reductions scale linearly in K;
+                                 # the ROI seed is a 9x9-dilated quarter-res
+                                 # union -- a handful of merged blobs, so 32
+                                 # is ample; 128 -> 32 saved 0.12 ms/frame
+                                 # with exact A/B parity, job 026)
 
     # --- polynomial fitting (ref utils/util_cylinder.py:454-550) -----------
     poly_degree: int = 2         # cylinder path deg 2 (ref :2035)
@@ -147,12 +166,14 @@ class DetectConfig:
                                  # round ~0.05 ms/frame at half-res on v5e.
                                  # Raise if scenes with more direction
                                  # changes ever miss parity.
-    pallas_cc_rounds_prebridge: int = 1  # the pre-bridge labeling sees only
+    pallas_cc_rounds_prebridge: int = 2  # the pre-bridge labeling sees only
                                  # un-bridged line fragments (smooth arcs, no
-                                 # bends): one pool+scan round converges
-                                 # (16-scene A/B parity exact at 1, job 022;
-                                 # the stats it feeds tolerate split labels
-                                 # anyway -- fragments of one arc share angle
+                                 # bends).  1 round is A/B-parity exact at
+                                 # 480x640 (job 022) but LOSES 7/28 points on
+                                 # a 240x320 scene (under-converged labels
+                                 # split fragments, flipping the long-skip
+                                 # gate) -- 2 is the robust setting across
+                                 # resolutions
                                  # for margin); A/B parity vs the fully-
                                  # converged XLA labels is the check
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)

@@ -272,7 +272,7 @@ def _cc_lowres_pair(
 
 
 def _roi_cylinder_from_labels(
-    merged: jnp.ndarray, labels: jnp.ndarray, h: int, w: int
+    merged: jnp.ndarray, labels: jnp.ndarray, h: int, w: int, k: int = 128
 ) -> jnp.ndarray:
     """Grid-region mask from the labeled lowres merge blob: largest component,
     orthoconvex-fill, upsample (stands in for the blob-hull ROI,
@@ -282,7 +282,7 @@ def _roi_cylinder_from_labels(
     for centroids, and mask ANDs whose reference counterpart carries +35 px
     margins, so quarter-pixel boundary fidelity is irrelevant -- while the
     full-res dilate + fill cost ~0.9 ms/frame."""
-    largest = labeling.largest_component_mask(labels) & merged
+    largest = labeling.largest_component_mask(labels, k=k) & merged
     filled = labeling.fill_orthoconvex(largest)
     h4 = -(-h // 4)
     w4 = -(-w // 4)
@@ -296,7 +296,9 @@ def _roi_plane_from_labels(
     """Threshold-127 hull ROI (ref get_convex_hull utils/util_plane.py:2590-2689),
     largest blob resolved at 1/4 resolution from the shared lowres labeling."""
     h, w = th.shape
-    largest4 = labeling.largest_component_mask(labels)
+    largest4 = labeling.largest_component_mask(
+        labels, k=getattr(cfg, "roi_blob_k", 128)
+    )
     h4 = -(-h // 4)
     w4 = -(-w // 4)
     largest4 = largest4[_SHIFT4:_SHIFT4 + h4, _SHIFT4:_SHIFT4 + w4]
@@ -506,14 +508,31 @@ def _bridge_angle_exp_pair(
     """
     n, hgt, wdt = outs.shape
     base = jnp.asarray([0.0, jnp.pi / 2], jnp.float32)
+    quarter = getattr(cfg, "bridge_stats_quarter", False) and hgt % 2 == 0 and wdt % 2 == 0
+    if quarter:
+        # Moment sums over 2x2-min-pooled labels: component identity survives
+        # (pooled min = same root values), the sel/onehot MXU passes shrink
+        # 4x, and second moments of the block pattern approximate the pixel
+        # moments (the consumers are a MEDIAN and px-scale threshold gates).
+        # The full-res gate compare below still uses the half-res labels.
+        stats_labels = -jax.lax.reduce_window(
+            -labels, -jnp.int32(hgt * wdt), jax.lax.max, (1, 2, 2), (1, 2, 2),
+            "VALID",
+        )
+        stats_scale = 2.0
+        min_area = 1
+    else:
+        stats_labels = labels
+        stats_scale = 1.0
+        min_area = 4 if scale == 1 else 2
     stats = jax.vmap(
         lambda l: labeling.component_stats_first_k(
             l,
             k=getattr(cfg, "bridge_stats_k", _MAX_COMPONENTS),
-            min_area=4 if scale == 1 else 2,
+            min_area=min_area,
             compute_bbox=False,
         )
-    )(labels)
+    )(stats_labels)
     ang = jax.vmap(labeling.component_orientation)(stats)  # (2, K)
     ang = ang - base[:, None]
     ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
@@ -522,7 +541,9 @@ def _bridge_angle_exp_pair(
     half_tr = 0.5 * (stats.mxx + stats.myy)
     half_df = 0.5 * (stats.mxx - stats.myy)
     lam_max = half_tr + jnp.sqrt(half_df * half_df + stats.mxy * stats.mxy)
-    diag = float(scale) * jnp.sqrt(12.0 * jnp.maximum(lam_max, 0.0))
+    diag = (float(scale) * stats_scale) * jnp.sqrt(
+        12.0 * jnp.maximum(lam_max, 0.0)
+    )
     gate_med = stats.valid & (diag >= cfg.bridge_min_len) & (
         diag <= cfg.bridge_max_len
     )
@@ -783,7 +804,9 @@ def _bridge_pair(
             )
         else:
             labels = cc_pallas(
-                small, rounds=rounds, interpret=cfg.pallas_interpret
+                small, rounds=rounds,
+                pools_per_round=getattr(cfg, "pallas_cc_pools", 4),
+                interpret=cfg.pallas_interpret,
             )
             (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_pair(
                 small, labels, cfg, scale=ds
@@ -1108,7 +1131,10 @@ def detect_grid(
 
     h_img, w_img = gray.shape
     if cfg.mode == "cylinder":
-        roi = _roi_cylinder_from_labels(roi_seed4, roi_labels, h_img, w_img)
+        roi = _roi_cylinder_from_labels(
+            roi_seed4, roi_labels, h_img, w_img,
+            k=getattr(cfg, "roi_blob_k", 128),
+        )
     else:
         roi = _roi_plane_from_labels(roi_th, roi_labels, cfg)  # type: ignore[arg-type]
     if cfg.stage_probe == "roi_mask":
@@ -1158,6 +1184,7 @@ def detect_grid(
         hv_labels = cc_pallas(
             hv_masks,
             rounds=max(1, int(cfg.pallas_cc_rounds)),
+            pools_per_round=getattr(cfg, "pallas_cc_pools", 4),
             interpret=cfg.pallas_interpret,
         )
         h_labels, v_labels = hv_labels[0], hv_labels[1]

@@ -213,7 +213,9 @@ def test_endpoint_stats_matches_moment_stats():
         connected_components,
     )
 
-    cfg = CylinderDetectConfig(use_pallas=True, pallas_interpret=True)
+    cfg = CylinderDetectConfig(
+        use_pallas=True, pallas_interpret=True, bridge_stats_quarter=False
+    )
     h, w = 64, 128
     m = np.zeros((2, h, w), np.float32)
     m[0, 10, 10:100] = 1           # long horizontal
@@ -244,3 +246,24 @@ def test_endpoint_stats_matches_moment_stats():
     assert abs(float(av) - float(av2)) < 0.05
     assert np.array_equal(np.asarray(eh), np.asarray(eh2))
     assert np.array_equal(np.asarray(ev), np.asarray(ev2))
+
+
+def test_pallas_detect_small_scene_point_count():
+    """Pin the Pallas-path detection count on a 240x320 scene.
+
+    Guards perf knobs against small-image regressions: pre-bridge CC at
+    1 round kept exact 480x640 bench parity yet silently lost 7/28 points
+    here (under-converged labels flip the bridge's long-skip gate), which is
+    why pallas_cc_rounds_prebridge defaults to 2."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_detector import _cylinder_image
+    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig
+    from _util import run_detect
+
+    scene, img = _cylinder_image()
+    cfg = CylinderDetectConfig(use_pallas=True, pallas_interpret=True)
+    res = run_detect(img, cfg)
+    assert bool(res.ok)
+    assert int(np.asarray(res.grid.valid).sum()) >= 28
