@@ -279,15 +279,16 @@ class FitConfig:
                                     # Raster cells feed the kNN/eigh/LM chain,
                                     # so capacity is quadratic in this.
     knn_k: int = 20                 # estCurvatures kNN (ref utils/estCurvatures.m:6)
-    lm_iters: int = 40              # LM refinement steps (replaces fminsearch,
+    lm_iters: int = 20              # LM refinement steps (replaces fminsearch,
                                     # ref utils/fitCylinderWPts3.m:33-38).
                                     # Swept 60/40/30/20 on the 16-scene bench:
-                                    # axis error/reproj identical at 40 (and
-                                    # still at 20); 40 keeps 2x margin over
-                                    # the observed acceptance tail.  Each
-                                    # iter is ~3 us/frame on v5e -- the fit
-                                    # cost lives in correspondence + kNN/eigh
-                                    # init, not here.
+                                    # reprojection error is IDENTICAL at 20
+                                    # vs 40 (max |delta| = 0.0; params move
+                                    # only along the cylinder's axis-slide
+                                    # gauge, which applyCylParamsPrior pins
+                                    # afterwards), and each iter costs ~3 us
+                                    # /frame on v5e, so 40 -> 20 bought
+                                    # 0.06 ms/frame for free.
     lm_lambda0: float = 1e-3
     dtype: str = "float32"
 

@@ -182,6 +182,89 @@ def _joint_centroids(
     return jnp.where(valid[:, None], cents, 0.0), valid
 
 
+def _joint_peaks(
+    joints: jnp.ndarray, cnt: jnp.ndarray, peak_iters: int = 8
+) -> jnp.ndarray:
+    """Per-blob peak mask: the unique pixel maximizing the (box-count,
+    linear-index) key within its 8-connected joint blob -- the XLA mirror of
+    the propagation fused into the Pallas preprocess kernel (exact integer
+    keys, so both produce identical peaks).  See _joint_centroids."""
+    h, w = joints.shape
+    lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    key = cnt.astype(jnp.int32) * (1 << 19) + lin
+    neg = jnp.iinfo(jnp.int32).min
+    km = jnp.where(joints, key, neg)
+    for _ in range(peak_iters):
+        km = jax.lax.reduce_window(km, neg, jax.lax.max, (3, 1), (1, 1), "SAME")
+        km = jax.lax.reduce_window(km, neg, jax.lax.max, (1, 3), (1, 1), "SAME")
+        km = jnp.where(joints, km, neg)
+    return joints & (key == km)
+
+
+def _stats_images(
+    gray: jnp.ndarray,
+    joints_f: jnp.ndarray,
+    cnt: jnp.ndarray,
+    cfg: DetectConfig,
+    joint_window: int = 11,
+) -> Tuple[jnp.ndarray, ...]:
+    """Saturation / brightness / joint-centroid statistic images as banded
+    MXU matmuls (ops/mxu_conv), shared VERBATIM by the Pallas and XLA
+    detector paths -- so A/B path parity for these images holds by
+    construction.
+
+    Replaces (ref provenance):
+      * saturation blur+threshold   (ref utils/util_cylinder.py:1962-1967)
+      * center-seed box brightness  (ref :1914-1917)
+      * indexing patch brightness   (ref :1377-1449; the Gaussian and the
+        box mean compose into ONE separable correlation)
+      * joint-blob box centroids    (ref extract_joints :1818-1827), via the
+        exact first-moment identity  sum(j*x) = x*cnt + corr(j, ramp):
+        ramp taps and 0/1 masks are bf16-exact and every partial sum stays
+        < 256, so cx/cy match the f32 box-filter formulation bit-for-bit.
+
+    Border semantics: zero padding (band-clipped matrices).  sat is masked
+    by the detector margin; the brightness images are only ever gathered at
+    interior points, and the bf16 tap rounding of the two Gaussian images
+    (~0.2%) is identical on every path (documented micro-deviation from the
+    reference's f32 filters).
+    """
+    from cylinder_pose_estimation_tpu.ops import mxu_conv as mxc
+
+    h, w = gray.shape
+    rr = jnp.arange(h)[:, None]
+    cc_ = jnp.arange(w)[None, :]
+    mrg = cfg.line_kernel_len
+    inside = (rr >= mrg) & (rr < h - mrg) & (cc_ >= mrg) & (cc_ < w - mrg)
+
+    gt = mxc.gauss_taps_cv(cfg.sat_blur_ksize)
+    sat = mxc.conv_y(mxc.conv_x(gray, mxc.x_mat(gt, w)), mxc.y_mat(gt, h))
+    sat_mask = (sat > cfg.sat_threshold) & inside
+
+    pc = 2 * cfg.center_patch_half + 1
+    bt = mxc.box_taps(pc)
+    bc = mxc.conv_y(mxc.conv_x(gray, mxc.x_mat(bt, w)), mxc.y_mat(bt, h))
+    bright_center = bc / float(pc * pc)
+
+    pi = 2 * cfg.patch_half_min + 1
+    ct = mxc.compose_taps(
+        mxc.gauss_taps_cv(cfg.index_blur_ksize), mxc.box_taps(pi)
+    )
+    bi = mxc.conv_y(mxc.conv_x(gray, mxc.x_mat(ct, w)), mxc.y_mat(ct, h))
+    bright_index = bi / float(pi * pi)
+
+    jb = mxc.box_taps(joint_window)
+    jr = mxc.ramp_taps(joint_window)
+    tx = mxc.conv_x(joints_f, mxc.x_mat(jr, w))
+    ty = mxc.conv_y(joints_f, mxc.y_mat(jr, h))
+    sx = cc_.astype(jnp.float32) * cnt + mxc.conv_y(tx, mxc.y_mat(jb, h))
+    sy = rr.astype(jnp.float32) * cnt + mxc.conv_x(ty, mxc.x_mat(jb, w))
+    c = jnp.maximum(cnt, 1.0)
+    cx = jnp.floor(sx / c)
+    cy = jnp.floor(sy / c)
+    return sat_mask, bright_center, bright_index, cx, cy
+
+
 # Lowres canvas shift: pooled content sits at [_SHIFT4:, _SHIFT4:] inside the
 # padded canvas so the CC kernels' 1-px anti-wrap border ring only ever
 # touches padding, never real content (a lowres px is 4 full-res px -- an
@@ -447,10 +530,27 @@ def _bridge_angle_exp(
     expandability gate is at the small resolution (caller upsamples)."""
     hgt, wdt = out.shape
     hw = hgt * wdt
+    # Same quarter-res stats option as _bridge_angle_exp_pair -- the two
+    # functions MUST make identical gate/angle decisions or the Pallas and
+    # XLA paths bridge differently (A/B parity).
+    quarter = (
+        getattr(cfg, "bridge_stats_quarter", False)
+        and hgt % 2 == 0 and wdt % 2 == 0
+    )
+    if quarter:
+        stats_labels = -jax.lax.reduce_window(
+            -labels, -jnp.int32(hw), jax.lax.max, (2, 2), (2, 2), "VALID"
+        )
+        stats_scale = 2.0
+        min_area = 1
+    else:
+        stats_labels = labels
+        stats_scale = 1.0
+        min_area = 4 if scale == 1 else 2
     stats = labeling.component_stats_first_k(
-        labels,
+        stats_labels,
         k=getattr(cfg, "bridge_stats_k", _MAX_COMPONENTS),
-        min_area=4 if scale == 1 else 2,
+        min_area=min_area,
         compute_bbox=False,
     )
     ang = labeling.component_orientation(stats)
@@ -467,7 +567,9 @@ def _bridge_angle_exp(
     half_tr = 0.5 * (stats.mxx + stats.myy)
     half_df = 0.5 * (stats.mxx - stats.myy)
     lam_max = half_tr + jnp.sqrt(half_df * half_df + stats.mxy * stats.mxy)
-    diag = float(scale) * jnp.sqrt(12.0 * jnp.maximum(lam_max, 0.0))
+    diag = (float(scale) * stats_scale) * jnp.sqrt(
+        12.0 * jnp.maximum(lam_max, 0.0)
+    )
     gate_med = stats.valid & (diag >= cfg.bridge_min_len) & (
         diag <= cfg.bridge_max_len
     )
@@ -1035,33 +1137,25 @@ def detect_grid(
         assert cfg.height % 8 == 0 and cfg.width % 128 == 0, (
             "pallas front-end needs TPU-tiled image shapes"
         )
-        (
-            b_f, h_f, v_f, j_f, sat_f, bright_center, bright_index,
-            joint_peak, joint_cx, joint_cy,
-        ) = (
-            preprocess_binarize(
-                gray,
-                blur_ksize=cfg.blur_ksize,
-                ridge_sigma=cfg.ridge_sigma,
-                sauvola_window=cfg.sauvola_window,
-                sauvola_k=cfg.sauvola_k,
-                sauvola_r=cfg.sauvola_r,
-                min_contrast=0.05,
-                line_len=cfg.line_kernel_len,
-                margin=cfg.line_kernel_len,
-                sat_blur_ksize=cfg.sat_blur_ksize,
-                sat_threshold=cfg.sat_threshold,
-                center_patch=2 * cfg.center_patch_half + 1,
-                index_blur_ksize=cfg.index_blur_ksize,
-                index_patch=2 * cfg.patch_half_min + 1,
-                interpret=cfg.pallas_interpret,
-            )
+        b_f, h_f, v_f, j_f, joint_cnt, joint_peak = preprocess_binarize(
+            gray,
+            blur_ksize=cfg.blur_ksize,
+            ridge_sigma=cfg.ridge_sigma,
+            sauvola_window=cfg.sauvola_window,
+            sauvola_k=cfg.sauvola_k,
+            sauvola_r=cfg.sauvola_r,
+            min_contrast=0.05,
+            line_len=cfg.line_kernel_len,
+            margin=cfg.line_kernel_len,
+            interpret=cfg.pallas_interpret,
         )
         binary = b_f > 0.5
         h_mask = h_f > 0.5
         v_mask = v_f > 0.5
         joints = j_f > 0.5
-        sat_mask = sat_f > 0.5
+        sat_mask, bright_center, bright_index, joint_cx, joint_cy = (
+            _stats_images(gray, j_f, joint_cnt, cfg)
+        )
         joint_pre = (joint_peak, joint_cx, joint_cy)
     else:
         blurred = gaussian_blur_cv(gray.astype(dtype), cfg.blur_ksize)
@@ -1089,10 +1183,17 @@ def detect_grid(
         h_mask = morphology.open_rect(binary, 1, cfg.line_kernel_len)
         v_mask = morphology.open_rect(binary, cfg.line_kernel_len, 1)
         joints = h_mask & v_mask
-        sat_mask = None
-        bright_center = None
-        bright_index = None
-        joint_pre = None
+        # Statistic images + joint peaks: the IDENTICAL shared MXU-matmul /
+        # key-propagation math the Pallas branch uses (A/B path parity for
+        # these images holds by construction; the box count is exact integer
+        # arithmetic on every formulation).
+        jf = joints.astype(jnp.float32)
+        joint_cnt = box_filter(jf, 11, mode="constant", normalize=False)
+        joint_peak = _joint_peaks(joints, joint_cnt)
+        sat_mask, bright_center, bright_index, joint_cx, joint_cy = (
+            _stats_images(gray, jf, joint_cnt, cfg)
+        )
+        joint_pre = (joint_peak.astype(jnp.float32), joint_cx, joint_cy)
     # Profiling probes (cfg.stage_probe, static): return a scalar that
     # depends on everything computed so far; consecutive-stage timing diffs
     # give the per-stage cost without duplicating the pipeline in a harness.
@@ -1111,12 +1212,6 @@ def detect_grid(
     # 3.+5a. ROI + saturation-blob labeling share ONE lowres CC launch: the
     # detector needs exactly two quarter-res labelings per image, and separate
     # scan-CC calls cost ~0.6 ms/frame each on v5e (launch-bound).
-    if sat_mask is None:
-        # XLA path only: `inside` is the margin band defined in the XLA
-        # preprocess branch above (the Pallas kernel margins its sat output).
-        sat_mask = (
-            gaussian_blur_cv(gray, cfg.sat_blur_ksize) > cfg.sat_threshold
-        ) & inside
     sat_small = _pool4_pad(sat_mask)
     if cfg.mode == "cylinder":
         roi_seed4 = morphology.dilate_rect(_pool4_pad(h_mask | v_mask), 9, 9)
@@ -1311,12 +1406,7 @@ def detect_grid(
     col_rank = _rank_by(mean_x, any_col)
 
     # 6g. center indexing (ref indexing_data :1350-1571)
-    if bright_index is None:
-        blur_idx = gaussian_blur_cv(gray, cfg.index_blur_ksize)
-        patch = 2 * cfg.patch_half_min + 1
-        bright_img = box_filter(blur_idx, patch, mode="constant")
-    else:
-        bright_img = bright_index
+    bright_img = bright_index
     xg = jnp.clip(jnp.round(xi).astype(jnp.int32), 0, gray.shape[1] - 1)
     yg = jnp.clip(jnp.round(yi).astype(jnp.int32), 0, gray.shape[0] - 1)
     bright = jnp.where(accept, bright_img[yg, xg], -jnp.inf)

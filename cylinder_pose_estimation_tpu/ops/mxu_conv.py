@@ -1,0 +1,131 @@
+"""Banded-matrix separable convolutions that ride the MXU.
+
+A length-L 1-D correlation along the rows or columns of an (H, W) image can
+be written as a dense matmul with a banded (N, N) matrix.  On TPU that is
+one pass through the 128x128 systolic array (~2 us for a 480x640 image in
+bf16) instead of L VPU shift+FMA passes (~0.4 us per tap) -- the MXU form
+wins for L >~ 8, and it is the idiomatic replacement for the reference's
+``cv2.boxFilter`` / ``cv2.GaussianBlur`` statistics passes
+(ref utils/util_cylinder.py:1914-1917, :1962-1967, :1377-1449) on hardware
+whose FLOPs live in the matrix unit.
+
+Border semantics: ZERO padding -- the band is clipped at the matrix edge.
+Call sites must either mask borders (the detector's margin band) or only
+consume interior pixels.
+
+Exactness: operands are cast to bf16 and accumulated in f32
+(``preferred_element_type``).  A product of two bf16 values is exactly
+representable in f32, so for integer-valued taps and images (box filters
+over 0/1 masks, gray values <= 255, |t|-ramp taps) the results are EXACT
+integers -- bit-identical to any f32 formulation.  For Gaussian taps the
+only inexactness is the bf16 rounding of taps and operands; every caller
+(Pallas kernel and XLA path alike) shares these helpers so both paths see
+identical values.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "band_matrix",
+    "x_mat",
+    "y_mat",
+    "box_taps",
+    "ramp_taps",
+    "gauss_taps_cv",
+    "compose_taps",
+    "conv_x",
+    "conv_y",
+]
+
+
+def box_taps(n: int) -> tuple:
+    """All-ones box taps (un-normalized box SUM), exact in bf16."""
+    return (1.0,) * n
+
+
+def ramp_taps(n: int) -> tuple:
+    """Centered integer ramp taps (-r .. r): correlation with these gives
+    sum(x[i+t] * t), the first-moment kernel used for box centroids."""
+    r = n // 2
+    return tuple(float(t - r) for t in range(n))
+
+
+def gauss_taps_cv(ksize: int) -> tuple:
+    """cv2.getGaussianKernel taps (sigma<=0 size rule) as Python floats."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
+    x = np.arange(ksize) - (ksize - 1) / 2.0
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    k = k / k.sum()
+    return tuple(float(v) for v in k)
+
+
+def compose_taps(a: tuple, b: tuple) -> tuple:
+    """Taps of the composition a * b (full 1-D convolution, float64)."""
+    return tuple(
+        float(v) for v in np.convolve(np.asarray(a, np.float64),
+                                      np.asarray(b, np.float64))
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def band_matrix(taps: tuple, n: int) -> np.ndarray:
+    """(n, n) bf16 banded correlation matrix B with B[j, i] = taps[j-i+r].
+
+    For a row-vector image row x (length n), (x @ B)[i] =
+    sum_t taps[t] * x[i + t - r]  -- a centered correlation with zero
+    padding.  Rounded to bf16 once here so every user of the same taps sees
+    identical rounded weights.
+    """
+    r = len(taps) // 2
+    m = np.zeros((n, n), np.float32)
+    for t, v in enumerate(taps):
+        off = t - r  # source index j = i + off
+        d = np.arange(max(0, -off), min(n, n - off))
+        m[d + off, d] = v
+    return m.astype(jnp.bfloat16)
+
+
+def x_mat(taps: tuple, w: int) -> np.ndarray:
+    """Right-multiplication matrix for conv_x: (img @ x_mat)."""
+    return band_matrix(tuple(taps), w)
+
+
+def y_mat(taps: tuple, h: int) -> np.ndarray:
+    """Left-multiplication matrix for conv_y: (y_mat @ img).
+
+    Uses the reversed-tap band so a STANDARD matmul contraction (rows of
+    the left operand against axis 0 of the image) realizes the centered
+    correlation -- standard layouts keep Mosaic/XLA from inserting
+    transposes.  For odd tap counts band(reversed)[i, j] = taps[j - i + r],
+    exactly the weight conv_y needs."""
+    return band_matrix(tuple(taps)[::-1], h)
+
+
+def conv_x(img: jnp.ndarray, bmat: jnp.ndarray) -> jnp.ndarray:
+    """Correlate along the last axis (width): img (..., H, W) @ bmat (W, W).
+
+    Returns f32 (bf16 operands, f32 accumulation on the MXU)."""
+    return jax.lax.dot_general(
+        img.astype(jnp.bfloat16),
+        bmat.astype(jnp.bfloat16),
+        dimension_numbers=(((img.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def conv_y(img: jnp.ndarray, amat: jnp.ndarray) -> jnp.ndarray:
+    """Correlate along axis 0 (height): (amat @ img) with amat from y_mat.
+
+    Returns f32 (bf16 operands, f32 accumulation on the MXU)."""
+    return jax.lax.dot_general(
+        amat.astype(jnp.bfloat16),
+        img.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )

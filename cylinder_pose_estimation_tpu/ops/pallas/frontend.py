@@ -8,9 +8,11 @@ kernels keep the image resident in VMEM across ALL passes:
   * ``preprocess_binarize``: Gaussian 5x5 -> scipy-style Gaussian(sigma=3)
     -> np.gradient Hessian -> closed-form 2x2 eigen minima -> Sauvola
     (15x15 box mean/var) -> inverted binary -> 1x20 / 20x1 binary openings
-    -> joints mask.  One kernel, one HBM read of the image, four mask writes.
-    (Replaces ref utils/util_cylinder.py:1734-1827 load_and_preprocess_image
-    + extract_joints.)
+    -> joints mask -> joint box-count + per-blob peak.  One kernel, one HBM
+    read of the image.  (Replaces ref utils/util_cylinder.py:1734-1827
+    load_and_preprocess_image + extract_joints.)  The dense statistic
+    images (saturation, brightness, centroid moments) ride the MXU outside
+    the kernel instead: models/detector._stats_images + ops/mxu_conv.
   * ``connected_components``: iterative 3x3 min-label propagation entirely in
     VMEM.  Per-iteration cost is so low on-chip that plain diameter-bounded
     pooling beats the clever-but-HBM-hungry segmented-scan formulation used
@@ -119,12 +121,8 @@ def _preprocess_kernel(
     h_ref,
     v_ref,
     joints_ref,
-    sat_ref,
-    bright_center_ref,
-    bright_index_ref,
+    joint_cnt_ref,
     joint_peak_ref,
-    joint_cx_ref,
-    joint_cy_ref,
     *,
     k5: tuple,
     k25: tuple,
@@ -134,11 +132,6 @@ def _preprocess_kernel(
     min_contrast: float,
     line_len: int,
     margin: int,
-    k19: tuple,
-    sat_threshold: float,
-    center_patch: int,
-    k7: tuple,
-    index_patch: int,
     joint_window: int,
     joint_peak_iters: int,
 ):
@@ -146,8 +139,7 @@ def _preprocess_kernel(
     h, w = g0.shape
 
     # Border margin ring (computed up front; applied to every mask output so
-    # circular-roll wrap-around can never leak content across image edges --
-    # the bright_* images keep a wrap band, documented in the caller).
+    # circular-roll wrap-around can never leak content across image edges).
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inside_f = (
@@ -157,23 +149,14 @@ def _preprocess_kernel(
         * jnp.where(cols < w - margin, 1.0, 0.0)
     )
 
-    # Side outputs from the raw gray (all fused into this one VMEM pass):
-    # saturation mask (Gaussian 19 -> threshold, ref utils/util_cylinder.py:
-    # 1962-1967), center-seed brightness (box 11 mean, ref :1914-1917) and
-    # indexing brightness (Gaussian 7 -> box mean, ref :1377-1449).
-    sat = _sep_conv_roll(g0, k19, 1)
-    sat = _sep_conv_roll(sat, k19, 0)
-    sat_ref[:] = jnp.where(sat > sat_threshold, 1.0, 0.0) * inside_f
-
-    bc = _box_sum_roll(g0, center_patch, 1)
-    bc = _box_sum_roll(bc, center_patch, 0)
-    bright_center_ref[:] = bc / float(center_patch * center_patch)
-
-    bi = _sep_conv_roll(g0, k7, 1)
-    bi = _sep_conv_roll(bi, k7, 0)
-    bi = _box_sum_roll(bi, index_patch, 1)
-    bi = _box_sum_roll(bi, index_patch, 0)
-    bright_index_ref[:] = bi / float(index_patch * index_patch)
+    # The saturation / brightness / centroid-moment statistics that earlier
+    # revisions computed here as VPU roll chains now live OUTSIDE the kernel
+    # as banded-matrix MXU matmuls shared by the Pallas and XLA detector
+    # paths (models/detector._stats_images, ops/mxu_conv) -- ~124 VPU
+    # shift+FMA passes replaced by a dozen MXU dots.  This kernel keeps only
+    # the passes that are sequential/maskful (binarize chain, openings, joint
+    # box-count + per-blob peak propagation, which feeds on the joint mask
+    # produced two statements earlier and cannot leave VMEM for free).
 
     # Gaussian 5x5 (cv2 sigma rule), separable.
     g = _sep_conv_roll(g0, k5, 1)
@@ -229,24 +212,17 @@ def _preprocess_kernel(
     joints = jnp.minimum(h_open, v_open)
     joints_ref[:] = joints
 
-    # Joint-blob peak extraction + box centroids, fused into the same VMEM
-    # pass (the algorithm and its exactness argument live in
-    # models/detector._joint_centroids; this is the identical math).  All
-    # sums are integer-valued and < 2^24, so f32 accumulation is exact and
-    # roll-order-independent; circular wrap is harmless because the line
-    # masks carry a `margin`-wide zero band, so every wrapped read lands on
-    # masked (zero / neg-key) content.
+    # Joint-blob box count + per-blob peak, fused in-VMEM (the algorithm and
+    # its exactness argument live in models/detector._joint_centroids; this
+    # is the identical math).  Counts are integer-valued < 2^24, so f32
+    # accumulation is exact and roll-order-independent; circular wrap is
+    # harmless because the line masks carry a `margin`-wide zero band.  The
+    # box first-moments (centroids) ride the MXU outside the kernel; the
+    # peak propagation stays here because its 4*joint_peak_iters masked max
+    # passes would each round-trip HBM as XLA ops (~0.7 ms/frame measured).
     cnt = _box_sum_roll(joints, joint_window, 1)
     cnt = _box_sum_roll(cnt, joint_window, 0)
-    colsf = cols.astype(jnp.float32)
-    rowsf = rows.astype(jnp.float32)
-    sx = _box_sum_roll(joints * colsf, joint_window, 1)
-    sx = _box_sum_roll(sx, joint_window, 0)
-    sy = _box_sum_roll(joints * rowsf, joint_window, 1)
-    sy = _box_sum_roll(sy, joint_window, 0)
-    c = jnp.maximum(cnt, 1.0)
-    joint_cx_ref[:] = jnp.floor(sx / c)
-    joint_cy_ref[:] = jnp.floor(sy / c)
+    joint_cnt_ref[:] = cnt
     lin = rows * w + cols
     key = cnt.astype(jnp.int32) * (1 << 19) + lin
     neg = jnp.iinfo(jnp.int32).min
@@ -269,11 +245,6 @@ def _preprocess_kernel(
         "min_contrast",
         "line_len",
         "margin",
-        "sat_blur_ksize",
-        "sat_threshold",
-        "center_patch",
-        "index_blur_ksize",
-        "index_patch",
         "joint_window",
         "joint_peak_iters",
         "interpret",
@@ -289,24 +260,20 @@ def preprocess_binarize(
     min_contrast: float = 0.05,
     line_len: int = 20,
     margin: int = 20,
-    sat_blur_ksize: int = 19,
-    sat_threshold: float = 240.0,
-    center_patch: int = 11,
-    index_blur_ksize: int = 7,
-    index_patch: int = 7,
     joint_window: int = 11,
     joint_peak_iters: int = 8,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
-    """Fused preprocess + binarize + openings + joints + side images.
+    """Fused preprocess + binarize + openings + joints + joint peaks.
 
     gray: (H, W) float32, H % 8 == 0, W % 128 == 0.
-    Returns (binary, h_mask, v_mask, joints, sat_mask, bright_center,
-    bright_index, joint_peak, joint_cx, joint_cy): 0/1 float masks, the two
-    brightness box-mean images the center-seed and indexing stages gather
-    from, and the joint-blob peak mask + per-pixel box-centroid images
-    consumed by models/detector._joint_centroids (one peak per 8-connected
-    joint blob; gathering cx/cy at peaks yields the blob centroids)."""
+    Returns (binary, h_mask, v_mask, joints, joint_cnt, joint_peak): 0/1
+    float masks, the joint-blob 11x11 box-count image, and the per-blob
+    peak mask consumed by models/detector._joint_centroids.  The
+    saturation / brightness / centroid-moment statistic images are NOT
+    computed here anymore -- they are banded-matrix MXU matmuls
+    (models/detector._stats_images) shared verbatim by the Pallas and XLA
+    detector paths."""
     h, w = gray.shape
     kernel = functools.partial(
         _preprocess_kernel,
@@ -318,20 +285,15 @@ def preprocess_binarize(
         min_contrast=min_contrast,
         line_len=line_len,
         margin=margin,
-        k19=_gauss_taps_cv(sat_blur_ksize),
-        sat_threshold=sat_threshold,
-        center_patch=center_patch,
-        k7=_gauss_taps_cv(index_blur_ksize),
-        index_patch=index_patch,
         joint_window=joint_window,
         joint_peak_iters=joint_peak_iters,
     )
-    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 10
+    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 6
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -38,7 +38,7 @@ def test_preprocess_binarize_matches_xla_interior():
     h_ref = np.asarray(morphology.open_rect(jnp.asarray(bin_ref), 1, 20))
     v_ref = np.asarray(morphology.open_rect(jnp.asarray(bin_ref), 20, 1))
 
-    b, hm, vm, j, sat, bc, bi, jp, jcx, jcy = preprocess_binarize(g, interpret=True)
+    b, hm, vm, j, jcnt, jp = preprocess_binarize(g, interpret=True)
     b = np.asarray(b) > 0.5
     hm = np.asarray(hm) > 0.5
     vm = np.asarray(vm) > 0.5
@@ -48,20 +48,37 @@ def test_preprocess_binarize_matches_xla_interior():
     assert (vm[m:-m, m:-m] == v_ref[m:-m, m:-m]).mean() > 0.995
     # joints exist at the 4 crossings
     assert (np.asarray(j) > 0.5).sum() >= 4
-    # side outputs: no saturation in this image; brightness images track the
-    # local mean (lines brighter than background)
-    assert (np.asarray(sat) > 0.5).sum() == 0
+    # Shared MXU statistic images: no saturation in this image; brightness
+    # images track the local mean (lines brighter than background); the
+    # in-kernel joint count/peak + MXU box centroids reproduce the XLA
+    # _joint_centroids fallback exactly (integer arithmetic on every path).
+    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig
+    from cylinder_pose_estimation_tpu.models.detector import (
+        _joint_centroids,
+        _joint_peaks,
+        _stats_images,
+    )
+    from cylinder_pose_estimation_tpu.ops.image import box_filter
+
+    cfg = CylinderDetectConfig()
+    joints = jnp.asarray(np.asarray(j) > 0.5)
+    sat, bc, bi, jcx, jcy = _stats_images(
+        g, joints.astype(jnp.float32), jcnt, cfg
+    )
+    assert np.asarray(sat).sum() == 0
     bc = np.asarray(bc)
     assert bc[37, 100] > bc[20, 50] + 30.0
     bi = np.asarray(bi)
     assert bi[37, 100] > bi[20, 50] + 20.0
-    # In-kernel joint peak/centroid images reproduce the XLA
-    # _joint_centroids exactly (same key propagation, exact f32 sums).
-    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig
-    from cylinder_pose_estimation_tpu.models.detector import _joint_centroids
-
-    cfg = CylinderDetectConfig()
-    joints = jnp.asarray(np.asarray(j) > 0.5)
+    # Kernel joint_cnt == XLA box_filter count (exact integers).
+    cnt_ref = np.asarray(
+        box_filter(joints.astype(jnp.float32), 11, mode="constant",
+                   normalize=False)
+    )
+    assert np.array_equal(np.asarray(jcnt), cnt_ref)
+    # Kernel peak == XLA peak propagation.
+    pk_ref = np.asarray(_joint_peaks(joints, jnp.asarray(cnt_ref)))
+    assert np.array_equal(np.asarray(jp) > 0.5, pk_ref)
     c_x, v_x = _joint_centroids(joints, cfg)
     c_p, v_p = _joint_centroids(joints, cfg, precomputed=(jp, jcx, jcy))
     assert np.array_equal(np.asarray(v_x), np.asarray(v_p))
