@@ -87,11 +87,13 @@ class DetectConfig:
                                  # at the bridge's half resolution fragments
                                  # only merge, so 32 keeps margin; A/B parity
                                  # exact, jobs 022/026)
-    lowres_cc_rounds: int = 3    # pool+scan rounds for the shared quarter-res
+    lowres_cc_rounds: int = 2    # pool+scan rounds for the shared quarter-res
                                  # ROI/saturation-blob labeling (blobs are
-                                 # compact dilated unions; 3 converges --
-                                 # A/B parity exact, jobs 020/026 -- and
-                                 # smaller scenes need fewer rounds, not more)
+                                 # compact dilated unions; 2 converges --
+                                 # detected xy identical to rounds=3 over the
+                                 # 16-scene bench (r2 sweep 009) and A/B
+                                 # parity stays exact; smaller scenes need
+                                 # fewer rounds, not more)
     bridge_stats_quarter: bool = True  # compute the bridge's moment stats
                                  # over 2x2-min-pooled labels (4x smaller
                                  # one-hot passes; gates keep px meaning via
@@ -281,14 +283,18 @@ class FitConfig:
     knn_k: int = 20                 # estCurvatures kNN (ref utils/estCurvatures.m:6)
     lm_iters: int = 20              # LM refinement steps (replaces fminsearch,
                                     # ref utils/fitCylinderWPts3.m:33-38).
-                                    # Swept 60/40/30/20 on the 16-scene bench:
-                                    # reprojection error is IDENTICAL at 20
-                                    # vs 40 (max |delta| = 0.0; params move
-                                    # only along the cylinder's axis-slide
-                                    # gauge, which applyCylParamsPrior pins
-                                    # afterwards), and each iter costs ~3 us
-                                    # /frame on v5e, so 40 -> 20 bought
-                                    # 0.06 ms/frame for free.
+                                    # Swept 60/40/30/20/12 on the 16-scene
+                                    # bench: reprojection error is IDENTICAL
+                                    # at 12 vs 40 (params move only along the
+                                    # cylinder's axis-slide gauge there), BUT
+                                    # the noise-free synthetic pose scene
+                                    # (tests/test_pose_model.py) still moves
+                                    # its AXIS between 12 and 20 iters
+                                    # (3.0 deg -> <0.3 deg): reprojection
+                                    # converges before direction does.  20 is
+                                    # the floor for pose accuracy; each iter
+                                    # costs ~3 us/frame on v5e so 12 would
+                                    # only buy 0.025 ms/frame.
     lm_lambda0: float = 1e-3
     dtype: str = "float32"
 

@@ -185,15 +185,48 @@ def component_stats(labels: jnp.ndarray, k: int, min_area: int = 1) -> Component
     )
 
 
+def prefix_rank(mask: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive rank of each element among the True entries of a flat bool
+    mask: rank[i] = (# True in mask[:i+1]) - 1, i.e. ``cumsum(mask) - 1``.
+
+    Implemented as TWO triangular MXU matmuls instead of a length-n cumsum:
+    jnp.cumsum lowers to a ~log2(n)-deep chain of full-array passes whose
+    fixed per-op cost dominates at the detector's sizes (n ~ 20-100k),
+    while a (rows, 128) x (128, 128) within-row prefix plus a (rows, rows)
+    row-offset matmul is two dispatches.  Counts are integers < 2^24, so
+    HIGHEST-precision f32 accumulation is exact (DEFAULT multiplies in bf16
+    and corrupts ranks > 256)."""
+    n = mask.shape[0]
+    cols = 128
+    rows = -(-n // cols)
+    mf = jnp.pad(mask.astype(jnp.float32), (0, rows * cols - n)).reshape(
+        rows, cols
+    )
+    upper_incl = jnp.triu(jnp.ones((cols, cols), jnp.float32))  # j <= i
+    within = jax.lax.dot_general(
+        mf, upper_incl,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (rows, cols) inclusive within-row prefix counts
+    tot = within[:, -1]
+    # Row offsets via a cumsum over the (tiny) per-row totals: a length-rows
+    # scan is a few log-depth passes over <=2.4k elements, while a triangular
+    # (rows, rows) matmul would read an O(rows^2) constant from HBM.
+    off = jnp.cumsum(tot) - tot  # exclusive
+    rank = (within + off[:, None] - 1.0).reshape(-1)[:n]
+    return rank.astype(jnp.int32)
+
+
 def compact_true_indices(mask: jnp.ndarray, k: int):
     """First-k indices of True entries of a 1-D bool mask.
 
-    Cumsum-rank + one-hot MXU projection; ``jnp.nonzero(size=k)`` lowers to
+    Matmul-rank + one-hot MXU projection; ``jnp.nonzero(size=k)`` lowers to
     an n-sized scatter, which is pathological on TPU (~3 ms at n = 307k).
     Returns (idx (k,) int32, valid (k,)); invalid slots hold n.
     """
     n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = prefix_rank(mask)
     sel = (mask[:, None] & (pos[:, None] == jnp.arange(k)[None, :])).astype(
         jnp.float32
     )
@@ -240,10 +273,11 @@ def component_stats_first_k(
     flat = labels.reshape(-1)
     lin = jnp.arange(hw, dtype=jnp.int32)
     is_root = (flat == lin) & (flat < hw)
-    # First-K compaction: rank roots by cumsum, then project the root values
-    # out with a one-hot matmul (root linear indices are < 2^24, exact in
-    # f32).  Avoids jnp.nonzero's HW-sized scatter.
-    pos = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    # First-K compaction: rank roots by the triangular-matmul prefix rank,
+    # then project the root values out with a one-hot matmul (root linear
+    # indices are < 2^24, exact in f32).  Avoids jnp.nonzero's HW-sized
+    # scatter and cumsum's log-depth pass chain.
+    pos = prefix_rank(is_root)
     sel = (is_root[:, None] & (pos[:, None] == jnp.arange(k)[None, :])).astype(
         jnp.float32
     )  # (HW, k)
