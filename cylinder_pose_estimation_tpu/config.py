@@ -99,9 +99,15 @@ class DetectConfig:
                                  # one-hot passes; gates keep px meaning via
                                  # a 2x moment rescale; A/B parity exact and
                                  # -0.09 ms/frame, job 027)
-    pallas_cc_pools: int = 4     # 3x3 min-pools per CC round (diagonal/local
+    pallas_cc_pools: int = 2     # 3x3 min-pools per CC round (diagonal/local
                                  # hops between the row/col segmented scans)
-                                 # for the pre- and post-bridge labelings
+                                 # for the pre- and post-bridge labelings.
+                                 # Line masks are scan-friendly (runs along
+                                 # rows/cols do the long-range work): 2 pools
+                                 # was xy-identical to 4 over the 16-scene
+                                 # bench with exact A/B parity and -0.045
+                                 # ms/frame (r2 sweep 011, revalidated post
+                                 # bridge-stats fix in job 012)
     roi_blob_k: int = 32         # component slots for the largest-blob ROI
                                  # stats at quarter res (the (HW/16, K)
                                  # one-hot reductions scale linearly in K;
@@ -249,6 +255,16 @@ class PlaneDetectConfig(DetectConfig):
     poly_degree: int = 1
     roi_threshold: float = 127.0     # ref get_convex_hull binary threshold
     roi_expand: int = 5              # hull dilation (ref python_grid_detection_plane.py:95)
+    roi_blob_k: int = 128            # unlike the cylinder path (dilated blob
+                                     # union, a handful of components), the
+                                     # plane ROI labels the RAW threshold
+                                     # mask, where every hot pixel/reflection
+                                     # is its own component -- scan-order
+                                     # slots must outnumber the specks that
+                                     # can precede the grid blob or the
+                                     # largest-component pick degrades to a
+                                     # speck (counts-only enumeration, so 4x
+                                     # the slots costs ~nothing at 1/4 res)
     bridge_kernel_base: int = 201    # fixed kernel (ref utils/util_plane.py:2807)
     bridge_min_len: float = 8.0      # ref utils/util_plane.py:140
     bridge_max_len: float = 700.0

@@ -148,15 +148,7 @@ def _joint_centroids(
         cnt = box_filter(f, window, mode="constant", normalize=False)
         sx = box_filter(f * xx, window, mode="constant", normalize=False)
         sy = box_filter(f * yy, window, mode="constant", normalize=False)
-        # Unique per-pixel key: count-dominant, linear-index tie-break.
-        key = cnt.astype(jnp.int32) * (1 << 19) + lin
-        neg = jnp.iinfo(jnp.int32).min
-        km = jnp.where(joints, key, neg)
-        for _ in range(peak_iters):
-            km = jax.lax.reduce_window(km, neg, jax.lax.max, (3, 1), (1, 1), "SAME")
-            km = jax.lax.reduce_window(km, neg, jax.lax.max, (1, 3), (1, 1), "SAME")
-            km = jnp.where(joints, km, neg)
-        peak = joints & (key == km)
+        peak = _joint_peaks(joints, cnt, peak_iters, window=window)
         c = jnp.maximum(cnt, 1.0)
         cx = jnp.floor(sx / c)
         cy = jnp.floor(sy / c)
@@ -183,7 +175,8 @@ def _joint_centroids(
 
 
 def _joint_peaks(
-    joints: jnp.ndarray, cnt: jnp.ndarray, peak_iters: int = 8
+    joints: jnp.ndarray, cnt: jnp.ndarray, peak_iters: int = 8,
+    window: int = 11,
 ) -> jnp.ndarray:
     """Per-blob peak mask: the unique pixel maximizing the (box-count,
     linear-index) key within its 8-connected joint blob -- the XLA mirror of
@@ -191,7 +184,9 @@ def _joint_peaks(
     keys, so both produce identical peaks).  See _joint_centroids."""
     h, w = joints.shape
     lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    key = cnt.astype(jnp.int32) * (1 << 19) + lin
+    key = cnt.astype(jnp.int32) * (
+        1 << labeling.peak_key_shift(h, w, window)
+    ) + lin
     neg = jnp.iinfo(jnp.int32).min
     km = jnp.where(joints, key, neg)
     for _ in range(peak_iters):
@@ -512,9 +507,9 @@ def _bridge_angle_exp(
     cfg: DetectConfig,
     scale: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Median component orientation + per-pixel expandability gate for one
-    line mask (the label-statistics half of the bridge; the morphology half
-    lives in _bridge / bridge_morphology).
+    """Median component orientation + per-pixel expandability gate for ONE
+    line mask: the n=1 view of _bridge_angle_exp_pair, so the XLA and Pallas
+    paths share a single gate/angle body and cannot diverge (A/B parity).
 
     The reference takes the median of per-contour PCA angles
     (ref expand_line_roi utils/util_cylinder.py:78-135) and skips contours
@@ -528,34 +523,68 @@ def _bridge_angle_exp(
     second-moment extents are rescaled to full-res pixels so the min/max/
     long-frac gates keep their reference-pixel meaning, and the returned
     expandability gate is at the small resolution (caller upsamples)."""
-    hgt, wdt = out.shape
-    hw = hgt * wdt
-    # Same quarter-res stats option as _bridge_angle_exp_pair -- the two
-    # functions MUST make identical gate/angle decisions or the Pallas and
-    # XLA paths bridge differently (A/B parity).
-    quarter = (
-        getattr(cfg, "bridge_stats_quarter", False)
-        and hgt % 2 == 0 and wdt % 2 == 0
+    angles, exps = _bridge_angle_exp_pair(
+        out[None], labels[None], cfg, scale=scale,
+        bases=(float(base_angle),),
     )
+    return angles[0], exps[0]
+
+
+def _bridge_angle_exp_pair(
+    outs: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: DetectConfig,
+    scale: int = 1,
+    bases: Tuple[float, ...] = (0.0, float(jnp.pi / 2)),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Median component orientation + expandability gates for a BATCH of
+    line masks (the h/v pair) in ONE batched stats launch.
+
+    Equivalent to per-mask calls (vmap is elementwise over the batch axis;
+    h gets base angle 0, v gets pi/2) but the component-stats one-hot
+    matmuls and the (HW, K) gate compare run as a single (n, ...)-batched
+    launch instead of n -- the stats payload reads amortize and the
+    dispatch count halves.
+
+    outs/labels: (n, Hs, Ws).  Returns (angles (n,), exp_imgs (n, Hs, Ws)).
+    """
+    n, hgt, wdt = outs.shape
+    base = jnp.asarray(bases, jnp.float32)
+    quarter = getattr(cfg, "bridge_stats_quarter", False) and hgt % 2 == 0 and wdt % 2 == 0
     if quarter:
+        # Moment sums over 2x2-min-pooled labels: label VALUES stay half-res
+        # linear indices, so component_stats_first_k gets value_shape to map
+        # each value to the pooled block holding its root (the plain
+        # flat == lin root test can never match after pooling).  Component
+        # identity survives the pooling (distinct line masks sit > 2 small-px
+        # apart), the sel/onehot MXU passes shrink 4x, and second moments of
+        # the block pattern approximate the pixel moments (the consumers are
+        # a MEDIAN and px-scale threshold gates).  The full-res gate compare
+        # below still uses the half-res labels against the value-space roots.
         stats_labels = -jax.lax.reduce_window(
-            -labels, -jnp.int32(hw), jax.lax.max, (2, 2), (2, 2), "VALID"
+            -labels, -jnp.int32(hgt * wdt), jax.lax.max, (1, 2, 2), (1, 2, 2),
+            "VALID",
         )
         stats_scale = 2.0
         min_area = 1
+        value_shape = (hgt, wdt)
     else:
         stats_labels = labels
         stats_scale = 1.0
         min_area = 4 if scale == 1 else 2
-    stats = labeling.component_stats_first_k(
-        stats_labels,
-        k=getattr(cfg, "bridge_stats_k", _MAX_COMPONENTS),
-        min_area=min_area,
-        compute_bbox=False,
-    )
-    ang = labeling.component_orientation(stats)
+        value_shape = None
+    stats = jax.vmap(
+        lambda l: labeling.component_stats_first_k(
+            l,
+            k=getattr(cfg, "bridge_stats_k", _MAX_COMPONENTS),
+            min_area=min_area,
+            compute_bbox=False,
+            value_shape=value_shape,
+        )
+    )(stats_labels)
+    ang = jax.vmap(labeling.component_orientation)(stats)  # (n, K)
     # wrap into (base - pi/2, base + pi/2]
-    ang = ang - base_angle
+    ang = ang - base[:, None]
     ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
     ang = jnp.where(ang > jnp.pi / 2, ang - jnp.pi, ang)
     ang = jnp.where(ang <= -jnp.pi / 2, ang + jnp.pi, ang)
@@ -573,84 +602,12 @@ def _bridge_angle_exp(
     gate_med = stats.valid & (diag >= cfg.bridge_min_len) & (
         diag <= cfg.bridge_max_len
     )
-    med = jnp.nanmedian(jnp.where(gate_med, ang, jnp.nan))
-    angle = jnp.where(jnp.isnan(med), 0.0, med) + base_angle
-
+    med = jnp.nanmedian(jnp.where(gate_med, ang, jnp.nan), axis=1)  # (n,)
+    angle = jnp.where(jnp.isnan(med), 0.0, med) + base
     # Per-pixel expansion gate: short (broken) segments only.  The gate map
     # is built by comparing the label image against the K expandable roots
     # ((HW, K) compare + any): a scatter-into-table + HW gather costs
     # ~3.5 ms/frame on v5e, the compare form ~0.25 ms.
-    if cfg.bridge_skip_long:
-        max_diag = jnp.max(jnp.where(stats.valid, diag, 0.0))
-        expandable = stats.valid & (diag <= cfg.bridge_long_frac * max_diag)
-        hit = (labels.reshape(-1)[:, None] == stats.root[None, :]) & (
-            expandable[None, :]
-        )
-        exp_img = jnp.any(hit, axis=-1).reshape(hgt, wdt)
-    else:
-        exp_img = out
-    return angle, exp_img
-
-
-def _bridge_angle_exp_pair(
-    outs: jnp.ndarray,
-    labels: jnp.ndarray,
-    cfg: DetectConfig,
-    scale: int = 1,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """_bridge_angle_exp for the h/v mask pair in ONE batched stats launch.
-
-    Numerically identical to two _bridge_angle_exp calls (vmap is
-    elementwise over the pair axis; h gets base angle 0, v gets pi/2) but
-    the component-stats one-hot matmuls and the (HW, K) gate compare run as
-    a single (2, ...)-batched launch instead of two -- the stats payload
-    reads amortize and the dispatch count halves.
-
-    outs/labels: (2, Hs, Ws).  Returns (angles (2,), exp_imgs (2, Hs, Ws)).
-    """
-    n, hgt, wdt = outs.shape
-    base = jnp.asarray([0.0, jnp.pi / 2], jnp.float32)
-    quarter = getattr(cfg, "bridge_stats_quarter", False) and hgt % 2 == 0 and wdt % 2 == 0
-    if quarter:
-        # Moment sums over 2x2-min-pooled labels: component identity survives
-        # (pooled min = same root values), the sel/onehot MXU passes shrink
-        # 4x, and second moments of the block pattern approximate the pixel
-        # moments (the consumers are a MEDIAN and px-scale threshold gates).
-        # The full-res gate compare below still uses the half-res labels.
-        stats_labels = -jax.lax.reduce_window(
-            -labels, -jnp.int32(hgt * wdt), jax.lax.max, (1, 2, 2), (1, 2, 2),
-            "VALID",
-        )
-        stats_scale = 2.0
-        min_area = 1
-    else:
-        stats_labels = labels
-        stats_scale = 1.0
-        min_area = 4 if scale == 1 else 2
-    stats = jax.vmap(
-        lambda l: labeling.component_stats_first_k(
-            l,
-            k=getattr(cfg, "bridge_stats_k", _MAX_COMPONENTS),
-            min_area=min_area,
-            compute_bbox=False,
-        )
-    )(stats_labels)
-    ang = jax.vmap(labeling.component_orientation)(stats)  # (2, K)
-    ang = ang - base[:, None]
-    ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
-    ang = jnp.where(ang > jnp.pi / 2, ang - jnp.pi, ang)
-    ang = jnp.where(ang <= -jnp.pi / 2, ang + jnp.pi, ang)
-    half_tr = 0.5 * (stats.mxx + stats.myy)
-    half_df = 0.5 * (stats.mxx - stats.myy)
-    lam_max = half_tr + jnp.sqrt(half_df * half_df + stats.mxy * stats.mxy)
-    diag = (float(scale) * stats_scale) * jnp.sqrt(
-        12.0 * jnp.maximum(lam_max, 0.0)
-    )
-    gate_med = stats.valid & (diag >= cfg.bridge_min_len) & (
-        diag <= cfg.bridge_max_len
-    )
-    med = jnp.nanmedian(jnp.where(gate_med, ang, jnp.nan), axis=1)  # (2,)
-    angle = jnp.where(jnp.isnan(med), 0.0, med) + base
     if cfg.bridge_skip_long:
         max_diag = jnp.max(jnp.where(stats.valid, diag, 0.0), axis=1, keepdims=True)
         expandable = stats.valid & (diag <= cfg.bridge_long_frac * max_diag)
@@ -667,37 +624,6 @@ def _bridge_angle_exp_pair(
 # endpoint-stats path (compaction capacity; a half-res orientation mask
 # holds tens of fragments).
 _MEDIAN_CAP = 64
-
-
-def _masked_kth_smallest(
-    vals: jnp.ndarray,
-    mask: jnp.ndarray,
-    k: jnp.ndarray,
-    lo: float,
-    hi: float,
-    iters: int = 30,
-) -> jnp.ndarray:
-    """k-th (0-based) smallest masked value by counting binary search.
-
-    No sort, no compaction: each step halves the value interval and counts
-    elements below the midpoint (one masked reduction), so the cost is
-    ``iters`` cheap passes over ``vals`` instead of an O(N log N) sort --
-    on TPU a full sort of the label canvas costs ~10 ms while 30 fused
-    count-reductions are ~microseconds.  Converges to the k-th value within
-    (hi - lo) / 2^iters, ample for an angle that only steers morphology
-    shift rounding."""
-
-    def body(_, lohi):
-        lo_c, hi_c = lohi
-        mid = 0.5 * (lo_c + hi_c)
-        cnt = jnp.sum(jnp.where(mask & (vals <= mid), 1, 0))
-        take_lo = cnt >= k + 1
-        return jnp.where(take_lo, lo_c, mid), jnp.where(take_lo, mid, hi_c)
-
-    lo_f, hi_f = jax.lax.fori_loop(
-        0, iters, body, (jnp.float32(lo), jnp.float32(hi))
-    )
-    return hi_f
 
 
 def _bridge_angle_exp_endpoint_pair(
@@ -866,7 +792,13 @@ def _bridge_pair(
     masks = jnp.stack([mh, mv])
     rounds = max(1, int(cfg.pallas_cc_rounds_prebridge))
     half = ds == 2 and getattr(cfg, "bridge_half_res", False)
+    probe_len = cfg.endpoint_probe_len
     if half:
+        # Halve the endpoint probe with the kernel: the probe counts mask
+        # pixels within probe_len ALONG the mask's own resolution, so an
+        # unscaled probe would reach 2x the full-res XLA path's distance and
+        # see "more line ahead" across exactly the gaps bridging targets.
+        probe_len = max(2, (cfg.endpoint_probe_len + 1) // 2)
         # Run the ENTIRE bridge at label resolution: the bridged masks are
         # only ever consumed through the half-res labeling CC (labels are
         # grouping keys for the joint centroids), so bridging the pooled
@@ -921,7 +853,7 @@ def _bridge_pair(
             jnp.stack([exp_h, exp_v]).astype(jnp.float32),
             jnp.stack([angle_h, angle_v]),
             jnp.asarray(kernel_len, jnp.float32),
-            probe_len=cfg.endpoint_probe_len,
+            probe_len=probe_len,
             max_kernel=max_kernel_len,
             interpret=cfg.pallas_interpret,
         )

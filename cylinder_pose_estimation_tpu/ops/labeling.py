@@ -185,6 +185,24 @@ def component_stats(labels: jnp.ndarray, k: int, min_area: int = 1) -> Component
     )
 
 
+def peak_key_shift(h: int, w: int, window: int) -> int:
+    """Bit shift packing a (box-count, linear-index) peak key into int32:
+    count-dominant, index tie-break.  The linear index needs
+    ceil(log2(H*W)) bits (a fixed 19 only covers <= 524,288 px -- at
+    768x1024 it would alias counts into indices and corrupt peaks) and the
+    count needs log2(window^2) more; both fields must fit in 31 bits.
+    Static per image size, and computed identically by the XLA joint-peak
+    mirror (models/detector._joint_peaks) and the Pallas preprocess kernel
+    so the two paths produce bit-identical peaks."""
+    shift = max(19, (h * w - 1).bit_length())
+    if shift + (window * window).bit_length() > 31:
+        raise ValueError(
+            f"joint-peak key overflow: {h}x{w} image with window {window} "
+            f"needs {shift + (window * window).bit_length()} bits > 31"
+        )
+    return shift
+
+
 def prefix_rank(mask: jnp.ndarray) -> jnp.ndarray:
     """Exclusive rank of each element among the True entries of a flat bool
     mask: rank[i] = (# True in mask[:i+1]) - 1, i.e. ``cumsum(mask) - 1``.
@@ -248,7 +266,11 @@ def compact_true_indices(mask: jnp.ndarray, k: int):
 
 
 def component_stats_first_k(
-    labels: jnp.ndarray, k: int, min_area: int = 1, compute_bbox: bool = True
+    labels: jnp.ndarray,
+    k: int,
+    min_area: int = 1,
+    compute_bbox: bool = True,
+    value_shape: tuple[int, int] | None = None,
 ) -> ComponentStats:
     """Sort-free component stats: first K components in scan order.
 
@@ -267,12 +289,33 @@ def component_stats_first_k(
     gates) or select explicitly via argmax(count).  If a mask has more than
     K components, later (bottom-right) ones are dropped instead of the
     smallest -- acceptable where K comfortably exceeds the expected count.
+
+    ``value_shape``: pass (vh, vw) when ``labels`` is a MIN-POOLED view of a
+    label image whose VALUES are linear indices of the original (vh, vw)
+    grid.  The root test then maps each value back to the pooled block that
+    contains its root pixel instead of comparing values against this grid's
+    own indices (which can never match after pooling).  A component is still
+    found as long as its root pixel's block wasn't min-pooled with a smaller
+    foreign label -- impossible for masks whose components sit further apart
+    than the pool factor.  Returned ``root`` values, and the one-hot used
+    for the moment sums, stay in value space, so callers can keep comparing
+    them against the unpooled label image.
     """
     h, w = labels.shape
     hw = h * w
     flat = labels.reshape(-1)
     lin = jnp.arange(hw, dtype=jnp.int32)
-    is_root = (flat == lin) & (flat < hw)
+    if value_shape is None or tuple(value_shape) == (h, w):
+        is_root = (flat == lin) & (flat < hw)
+    else:
+        vh, vw = value_shape
+        py, px = vh // h, vw // w
+        vy, vx = flat // vw, flat % vw
+        is_root = (
+            (flat < vh * vw)
+            & (vy // py == lin // w)
+            & (vx // px == lin % w)
+        )
     # First-K compaction: rank roots by the triangular-matmul prefix rank,
     # then project the root values out with a one-hot matmul (root linear
     # indices are < 2^24, exact in f32).  Avoids jnp.nonzero's HW-sized
@@ -290,11 +333,12 @@ def component_stats_first_k(
         # in bf16 on the MXU and corrupts the exact root indices.
         precision=jax.lax.Precision.HIGHEST,
     )  # (k, 2): [root value, occupancy]
+    vhw = hw if value_shape is None else value_shape[0] * value_shape[1]
     root_k = jnp.where(
-        picked[:, 1] > 0.5, picked[:, 0].astype(jnp.int32), hw
+        picked[:, 1] > 0.5, picked[:, 0].astype(jnp.int32), vhw
     )
 
-    onehot = (flat[:, None] == root_k[None, :]) & (root_k[None, :] < hw)
+    onehot = (flat[:, None] == root_k[None, :]) & (root_k[None, :] < vhw)
     xs = (lin % w).astype(jnp.float32)
     ys = (lin // w).astype(jnp.float32)
     ones = jnp.ones((hw,), jnp.float32)
@@ -332,7 +376,7 @@ def component_stats_first_k(
         bbox = jnp.zeros((k, 4), jnp.int32)
 
     return ComponentStats(
-        root=jnp.where(valid, root_k, hw).astype(jnp.int32),
+        root=jnp.where(valid, root_k, vhw).astype(jnp.int32),
         count=cnt.astype(jnp.int32),
         centroid=jnp.stack([cx, cy], -1),
         bbox=bbox,
@@ -346,14 +390,36 @@ def component_stats_first_k(
 def largest_component_mask(labels: jnp.ndarray, k: int = 128) -> jnp.ndarray:
     """Bool mask of the largest foreground component (cv2 'max contour').
 
-    Uses the sort-free first-k stats (one-hot MXU reduction) + argmax over
-    counts; correct as long as the image has <= k components (the ROI call
-    sites label quarter-resolution dilated masks with a handful of blobs).
-    The 4-sort ``component_stats`` formulation costs ~2 ms at 480x640.
+    Counts-only version of ``component_stats_first_k`` (no moment payload):
+    enumerate the first k roots in scan order, count each root's pixels with
+    one (HW, k) compare + column reduction, argmax.  Correct as long as the
+    image has <= k components; beyond that, later (bottom-right) components
+    are invisible -- size k for the worst plausible speck count, not the
+    expected blob count (the plane ROI labels a RAW threshold mask where
+    every hot pixel is its own component).  The 4-sort ``component_stats``
+    formulation is exact for any count but costs ~2 ms at 480x640.
     """
-    stats = component_stats_first_k(labels, k=k, compute_bbox=False)
-    li = jnp.argmax(stats.count)
-    return labels == stats.root[li]
+    h, w = labels.shape
+    hw = h * w
+    flat = labels.reshape(-1)
+    lin = jnp.arange(hw, dtype=jnp.int32)
+    is_root = (flat == lin) & (flat < hw)
+    pos = prefix_rank(is_root)
+    sel = (is_root[:, None] & (pos[:, None] == jnp.arange(k)[None, :])).astype(
+        jnp.float32
+    )
+    picked = jax.lax.dot_general(
+        sel,
+        jnp.stack([flat.astype(jnp.float32), jnp.ones((hw,), jnp.float32)], -1),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # exact root indices (see above)
+    )  # (k, 2): [root value, occupancy]
+    root_k = jnp.where(picked[:, 1] > 0.5, picked[:, 0].astype(jnp.int32), hw)
+    onehot = (flat[:, None] == root_k[None, :]) & (root_k[None, :] < hw)
+    cnt = jnp.sum(onehot, axis=0)
+    li = jnp.argmax(cnt)
+    return labels == root_k[li]
 
 
 def component_orientation(stats: ComponentStats) -> jnp.ndarray:

@@ -38,14 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 import numpy as _np
 
-
-def _gauss_taps_cv(ksize: int) -> tuple:
-    """cv2.getGaussianKernel taps as Python floats (trace-time constants)."""
-    sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
-    x = _np.arange(ksize) - (ksize - 1) / 2.0
-    k = _np.exp(-(x * x) / (2.0 * sigma * sigma))
-    k = k / k.sum()
-    return tuple(float(v) for v in k)
+from cylinder_pose_estimation_tpu.ops import labeling
+from cylinder_pose_estimation_tpu.ops.mxu_conv import gauss_taps_cv as _gauss_taps_cv
 
 
 def _gauss_taps_scipy(sigma: float, truncate: float = 4.0) -> tuple:
@@ -224,7 +218,11 @@ def _preprocess_kernel(
     cnt = _box_sum_roll(cnt, joint_window, 0)
     joint_cnt_ref[:] = cnt
     lin = rows * w + cols
-    key = cnt.astype(jnp.int32) * (1 << 19) + lin
+    # Same count-dominant key packing as the XLA mirror (a fixed 19-bit
+    # shift would alias lin into cnt for images > 524,288 px).
+    key = cnt.astype(jnp.int32) * (
+        1 << labeling.peak_key_shift(h, w, joint_window)
+    ) + lin
     neg = jnp.iinfo(jnp.int32).min
     km = jnp.where(joints > 0.5, key, neg)
     for _ in range(joint_peak_iters):

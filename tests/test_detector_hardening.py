@@ -316,3 +316,64 @@ def test_choose_idx_bridges_missing_row():
     )
     sel_rows = set(np.asarray(corr.idx)[np.asarray(corr.valid)][:, 1].tolist())
     assert sel_rows == set(rows_present) - {gap_row}
+
+
+# ---------------------------------------------------------------------------
+# Quarter-res bridge stats must still FIND components (regression: the
+# min-pooled label values are half-res linear indices, so the plain
+# root-by-position test silently matched nothing and bridging no-op'd)
+# ---------------------------------------------------------------------------
+
+
+def test_component_stats_value_shape_finds_pooled_roots():
+    import jax
+
+    from cylinder_pose_estimation_tpu.ops import labeling
+
+    rng = np.random.default_rng(3)
+    m = np.zeros((64, 128), bool)
+    m[10, 8:60] = True          # horizontal segment
+    m[30:55, 40] = True         # vertical segment
+    m[50, 90:120] = True
+    labels = labeling.connected_components(jnp.asarray(m), iters=16)
+    pooled = -jax.lax.reduce_window(
+        -labels, -jnp.int32(64 * 128), jax.lax.max, (2, 2), (2, 2), "VALID"
+    )
+    stats = labeling.component_stats_first_k(
+        pooled, k=8, min_area=1, compute_bbox=False, value_shape=(64, 128)
+    )
+    # all three components found, roots = the half-res root values
+    roots_true = sorted(
+        int(v) for v in np.unique(np.asarray(labels)[m])
+    )
+    roots_got = sorted(
+        int(r) for r, v in zip(np.asarray(stats.root), np.asarray(stats.valid)) if v
+    )
+    assert roots_got == roots_true
+    # counts approximate area / 4 (pooled blocks)
+    cnt = np.asarray(stats.count)[np.asarray(stats.valid)]
+    assert (cnt >= 1).all()
+
+
+def test_bridge_closes_gap_with_default_config():
+    """A broken grid line must be bridged under the SHIPPED defaults
+    (bridge_stats_quarter=True) on the XLA path -- regression for the
+    quarter-res root bug that made bridging a silent no-op
+    (ref expands_line_roi utils/util_cylinder.py:137-237)."""
+    from cylinder_pose_estimation_tpu.models.detector import _bridge
+
+    cfg = CylinderDetectConfig(height=H, width=W)
+    assert cfg.bridge_stats_quarter  # the shipped default under test
+    m = np.zeros((H, W), bool)
+    m[60, 40:280] = True     # long unbroken line (sets max extent)
+    m[61, 40:280] = True
+    m[120, 40:140] = True    # broken line: two short fragments, 20 px gap
+    m[121, 40:140] = True
+    m[120, 160:280] = True
+    m[121, 160:280] = True
+    out = np.asarray(
+        _bridge(jnp.asarray(m), 0.0, jnp.float32(60.0), 120, cfg)
+    )
+    assert out[118:124, 140:160].any(), "gap must be bridged"
+    # the long line must NOT have been erased
+    assert out[60, 40:280].all()
