@@ -62,6 +62,10 @@ class DetectConfig:
 
     # --- centroid/center seed (ref utils/util_cylinder.py:1902-1941) -------
     center_patch_half: int = 5   # 11x11 brightness patch around centroid
+    joint_peak_iters: int = 8    # masked 3x3 max-propagation rounds for the
+                                 # per-blob joint peak (bounds the blob graph
+                                 # radius; joint blobs are the AND of two
+                                 # <= 9 px line openings, so 8 is ~2x margin)
 
     # --- saturation masking (ref utils/util_cylinder.py:1944-2007) ---------
     sat_blur_ksize: int = 19

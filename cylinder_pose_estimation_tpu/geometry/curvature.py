@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from cylinder_pose_estimation_tpu.ops.linalg import mm
+
 from cylinder_pose_estimation_tpu.ops.linalg import eigh2x2, solve_normal_equations
 
 
@@ -65,7 +67,7 @@ def _curvature_from_neighborhood(
     cnt = jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), 1.0)
     mean = jnp.sum(nbr * w, axis=-2, keepdims=True) / cnt
     cd = (nbr - mean) * w
-    cov = jnp.swapaxes(cd, -1, -2) @ cd / jnp.maximum(cnt[..., 0, :, None] - 1.0, 1.0)
+    cov = mm(jnp.swapaxes(cd, -1, -2), cd) / jnp.maximum(cnt[..., 0, :, None] - 1.0, 1.0)
     _, vecs = jnp.linalg.eigh(cov)
     normal = vecs[..., :, 0]                      # (..., 3)
 

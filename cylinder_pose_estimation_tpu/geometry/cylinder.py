@@ -20,6 +20,8 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
+from cylinder_pose_estimation_tpu.ops.linalg import mm
+
 from cylinder_pose_estimation_tpu.geometry.curvature import estimate_curvature_at
 from cylinder_pose_estimation_tpu.ops.linalg import masked_mean, pca_components
 from cylinder_pose_estimation_tpu.ops.lm import levenberg_marquardt
@@ -38,7 +40,7 @@ def dist_points_to_line(
     v = direction
     nv2 = jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), _EPS)
     rel = pts - p1[..., None, :]
-    alpha = (rel @ v[..., :, None])[..., 0] / nv2
+    alpha = mm(rel, v[..., :, None])[..., 0] / nv2
     proj = p1[..., None, :] + alpha[..., None] * v[..., None, :]
     return jnp.linalg.norm(pts - proj, axis=-1)
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from cylinder_pose_estimation_tpu.ops.linalg import mm
+
 from cylinder_pose_estimation_tpu.config import KinematicsConfig
 
 
@@ -80,4 +82,4 @@ def t_agv_cyl(
         [zero, zero, zero, one],
     ])
 
-    return t_a_p @ t_p_t0 @ t_t0_t1 @ t_t1_t2 @ t_t2_cyl
+    return mm(mm(mm(mm(t_a_p, t_p_t0), t_t0_t1), t_t1_t2), t_t2_cyl)

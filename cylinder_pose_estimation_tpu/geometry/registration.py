@@ -28,6 +28,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from cylinder_pose_estimation_tpu.ops.linalg import mm
+
 from cylinder_pose_estimation_tpu.config import RegistrationConfig
 from cylinder_pose_estimation_tpu.geometry import transforms
 from cylinder_pose_estimation_tpu.geometry.cylinder import (
@@ -73,8 +75,8 @@ def _triad_init(
     basis_cam = jnp.stack([dir_cam, end, jnp.cross(dir_cam, end)], axis=-1)
     basis_agv = jnp.stack([y_agv, nd, jnp.cross(y_agv, nd)], axis=-1)
     # MATLAB: R = basis_cam / basis_agv  ==  basis_cam @ inv(basis_agv)
-    r = basis_cam @ jnp.linalg.inv(basis_agv)
-    t = ep1 - r @ p1
+    r = mm(basis_cam, jnp.linalg.inv(basis_agv))
+    t = ep1 - mm(r, p1)
     top = jnp.concatenate([r, t[:, None]], axis=-1)
     return jnp.concatenate(
         [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=r.dtype)], axis=0
@@ -179,7 +181,7 @@ def fit_cylinders_with_angles(
     r_cube = transforms.rotvec_to_matrix(cube)       # (24, 3, 3)
     p1 = init_kin[0, :3, 3]
     ep1 = cyl_params[0, :3]
-    t_cube = ep1[None, :] - (r_cube @ p1).reshape(24, 3)
+    t_cube = ep1[None, :] - mm(r_cube, p1).reshape(24, 3)
     cube_poses = jnp.concatenate([cube, t_cube], axis=-1)
 
     candidates = jnp.concatenate([triad_poses, cube_poses], axis=0)
@@ -234,4 +236,4 @@ def predicted_cylinder_poses(
     config: RegistrationConfig = RegistrationConfig(),
 ) -> jnp.ndarray:
     """T_Cam_cyl per frame = T_Cam_AGV @ T_AGV_cyl(pan, tilt) (ref exp_gridDetection.m:90-94)."""
-    return t_cam_agv @ t_agv_cyl(angles[:, 0], angles[:, 1], config.kinematics)
+    return mm(t_cam_agv, t_agv_cyl(angles[:, 0], angles[:, 1], config.kinematics))

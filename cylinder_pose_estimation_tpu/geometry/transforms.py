@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from cylinder_pose_estimation_tpu.ops.linalg import mm
+
 _EPS = 1e-12
 
 
@@ -40,7 +42,7 @@ def rotvec_to_matrix(rv: jnp.ndarray) -> jnp.ndarray:
         axis=-2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rv.dtype), khat.shape)
-    return eye + a * khat + b * (khat @ khat)
+    return eye + a * khat + b * mm(khat, khat)
 
 
 def matrix_to_rotvec(r: jnp.ndarray) -> jnp.ndarray:
@@ -126,7 +128,7 @@ def cyl_params_to_transform(cyl_params: jnp.ndarray) -> jnp.ndarray:
 
 def transform_points(t: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 4, 4) to (..., N, 3) points (ref utils/transformEuclid.m)."""
-    return pts @ jnp.swapaxes(t[..., :3, :3], -1, -2) + t[..., None, :3, 3]
+    return mm(pts, jnp.swapaxes(t[..., :3, :3], -1, -2)) + t[..., None, :3, 3]
 
 
 def project_points(pts3: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
@@ -134,7 +136,7 @@ def project_points(pts3: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
     Equivalent of ref utils/projPts3.m (hom2cart(pts3' * K')').
     """
-    h = pts3 @ jnp.swapaxes(k, -1, -2)
+    h = mm(pts3, jnp.swapaxes(k, -1, -2))
     return h[..., :2] / (h[..., 2:3] + _EPS)
 
 
@@ -143,7 +145,7 @@ def invert_transform(t: jnp.ndarray) -> jnp.ndarray:
     r = t[..., :3, :3]
     tr = t[..., :3, 3]
     rt = jnp.swapaxes(r, -1, -2)
-    ti = -(rt @ tr[..., None])[..., 0]
+    ti = -mm(rt, tr[..., None])[..., 0]
     top = jnp.concatenate([rt, ti[..., :, None]], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=t.dtype), top.shape[:-2] + (1, 4)

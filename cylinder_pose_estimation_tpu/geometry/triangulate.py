@@ -24,6 +24,8 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+from cylinder_pose_estimation_tpu.ops.linalg import mm
+
 from cylinder_pose_estimation_tpu.types import StereoParams, TriangulationResult
 
 
@@ -33,7 +35,7 @@ def camera_matrices(stereo: StereoParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
     k2 = stereo.cam2.k
     rt = stereo.t_c2_c1[:3, :4]
     p1 = jnp.concatenate([k1, jnp.zeros((3, 1), dtype=k1.dtype)], axis=1)
-    p2 = k2 @ rt
+    p2 = mm(k2, rt)
     return p1, p2
 
 
@@ -88,7 +90,7 @@ def triangulate(
     # stereo (normalized coords keep B entries O(1)).
     b = a[..., :, :3]
     c = a[..., :, 3]
-    btb = jnp.swapaxes(b, -1, -2) @ b  # (..., M, 3, 3)
+    btb = mm(jnp.swapaxes(b, -1, -2), b)  # (..., M, 3, 3)
     btc = jnp.sum(b * c[..., :, None], axis=-2)  # (..., M, 3)
     if valid is not None:
         eye = jnp.eye(3, dtype=dtype)
@@ -132,7 +134,7 @@ def reprojection_errors(
     ph = jnp.concatenate([pts3, jnp.ones_like(pts3[..., :1])], axis=-1)
 
     def proj(p):
-        h = ph @ p.T
+        h = mm(ph, p.T)
         return h[..., :2] / (h[..., 2:3] + 1e-12)
 
     e1 = jnp.linalg.norm(proj(p1) - xy1, axis=-1)

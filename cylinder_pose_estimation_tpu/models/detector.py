@@ -1079,6 +1079,7 @@ def detect_grid(
             min_contrast=0.05,
             line_len=cfg.line_kernel_len,
             margin=cfg.line_kernel_len,
+            joint_peak_iters=cfg.joint_peak_iters,
             interpret=cfg.pallas_interpret,
         )
         binary = b_f > 0.5
@@ -1121,7 +1122,7 @@ def detect_grid(
         # arithmetic on every formulation).
         jf = joints.astype(jnp.float32)
         joint_cnt = box_filter(jf, 11, mode="constant", normalize=False)
-        joint_peak = _joint_peaks(joints, joint_cnt)
+        joint_peak = _joint_peaks(joints, joint_cnt, cfg.joint_peak_iters)
         sat_mask, bright_center, bright_index, joint_cx, joint_cy = (
             _stats_images(gray, jf, joint_cnt, cfg)
         )

@@ -10,9 +10,24 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
+
+
+def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Matmul at HIGHEST precision.
+
+    TPU's DEFAULT f32 ``@`` multiplies in bf16 on the MXU (8-bit mantissa).
+    In the geometry chain that quantizes rotation matrices by ~4e-3,
+    projected pixels by ~1 px and normal-equation coefficients enough to
+    cost ~0.5 px of reprojection accuracy (measured TPU-vs-CPU on the
+    16-scene bench).  Every matmul here is tiny (<= a few x hundreds), so
+    full-f32 HIGHEST is free -- use this for ALL numeric-quality matmuls;
+    bandwidth-bound one-hot compactions set it at their call sites already.
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def masked_mean(pts: jnp.ndarray, valid: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
@@ -31,7 +46,7 @@ def masked_cov(pts: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     n = jnp.sum(w, axis=-2, keepdims=True)
     mean = jnp.sum(pts * w, axis=-2, keepdims=True) / jnp.maximum(n, 1.0)
     d = (pts - mean) * w
-    cov = jnp.swapaxes(d, -1, -2) @ d
+    cov = mm(jnp.swapaxes(d, -1, -2), d)
     return cov / jnp.maximum(n[..., 0, :, None] - 1.0, 1.0)
 
 
@@ -87,8 +102,8 @@ def solve_normal_equations(
     ridge regularization keeps masked-out / degenerate systems finite.
     """
     aw = a * w[..., None]
-    ata = jnp.swapaxes(aw, -1, -2) @ aw
-    atb = jnp.swapaxes(aw, -1, -2) @ (b * w)[..., None]
+    ata = mm(jnp.swapaxes(aw, -1, -2), aw)
+    atb = mm(jnp.swapaxes(aw, -1, -2), (b * w)[..., None])
     p = a.shape[-1]
     ata = ata + ridge * jnp.eye(p, dtype=a.dtype)
     return jnp.linalg.solve(ata, atb)[..., 0]

@@ -24,6 +24,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from cylinder_pose_estimation_tpu.ops.linalg import mm
+
 
 class LMResult(NamedTuple):
     params: jnp.ndarray   # (P,) final parameters
@@ -66,8 +68,8 @@ def levenberg_marquardt(
         p, r, cost, lam, n_acc = carry
         j = jax.jacfwd(residual_fn)(p)  # (N, P)
         jw = j * w[:, None]
-        jtj = j.T @ jw
-        jtr = jw.T @ r
+        jtj = mm(j.T, jw)
+        jtr = mm(jw.T, r)
         # Marquardt scaling: damp by lam * diag(JtJ) (+ floor for zero columns).
         damp = lam * (jnp.diagonal(jtj) + 1e-12)
         delta = jnp.linalg.solve(jtj + damp * eye, -jtr)

@@ -22,6 +22,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from cylinder_pose_estimation_tpu.ops.linalg import mm
+
 
 def polyval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Horner evaluation; coeffs (..., D+1) highest-first, broadcasts over x."""
@@ -60,8 +62,8 @@ def masked_polyfit(
     cols = [xs ** d for d in range(degree, -1, -1)]
     a = jnp.stack(cols, axis=-1)  # (..., N, D+1)
     aw = a * w[..., None]
-    ata = jnp.swapaxes(aw, -1, -2) @ aw
-    atb = jnp.swapaxes(aw, -1, -2) @ (y * w)[..., None]
+    ata = mm(jnp.swapaxes(aw, -1, -2), aw)
+    atb = mm(jnp.swapaxes(aw, -1, -2), (y * w)[..., None])
     ata = ata + 1e-8 * jnp.eye(degree + 1, dtype=dtype)
     cs = jnp.linalg.solve(ata, atb)[..., 0]  # scaled-basis coeffs
 
