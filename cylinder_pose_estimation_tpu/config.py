@@ -62,10 +62,13 @@ class DetectConfig:
 
     # --- centroid/center seed (ref utils/util_cylinder.py:1902-1941) -------
     center_patch_half: int = 5   # 11x11 brightness patch around centroid
-    joint_peak_iters: int = 8    # masked 3x3 max-propagation rounds for the
+    joint_peak_iters: int = 5    # masked 3x3 max-propagation rounds for the
                                  # per-blob joint peak (bounds the blob graph
                                  # radius; joint blobs are the AND of two
-                                 # <= 9 px line openings, so 8 is ~2x margin)
+                                 # <= 9 px line openings).  8 was the 2x-
+                                 # margin setting; 5 is xy-identical over the
+                                 # 16-scene bench with exact A/B parity and
+                                 # -0.01 ms/frame (r2 sweep 015)
 
     # --- saturation masking (ref utils/util_cylinder.py:1944-2007) ---------
     sat_blur_ksize: int = 19
@@ -91,13 +94,14 @@ class DetectConfig:
                                  # at the bridge's half resolution fragments
                                  # only merge, so 32 keeps margin; A/B parity
                                  # exact, jobs 022/026)
-    lowres_cc_rounds: int = 2    # pool+scan rounds for the shared quarter-res
+    lowres_cc_rounds: int = 1    # pool+scan rounds for the shared quarter-res
                                  # ROI/saturation-blob labeling (blobs are
-                                 # compact dilated unions; 2 converges --
-                                 # detected xy identical to rounds=3 over the
-                                 # 16-scene bench (r2 sweep 009) and A/B
-                                 # parity stays exact; smaller scenes need
-                                 # fewer rounds, not more)
+                                 # compact dilated unions; one pool+scan
+                                 # round converges -- detected xy identical
+                                 # to rounds=2/3 over the 16-scene bench
+                                 # (r2 sweeps 009/015) with exact A/B
+                                 # parity; smaller scenes need fewer rounds,
+                                 # not more)
     bridge_stats_quarter: bool = True  # compute the bridge's moment stats
                                  # over 2x2-min-pooled labels (4x smaller
                                  # one-hot passes; gates keep px meaning via
