@@ -377,3 +377,29 @@ def test_bridge_closes_gap_with_default_config():
     assert out[118:124, 140:160].any(), "gap must be bridged"
     # the long line must NOT have been erased
     assert out[60, 40:280].all()
+
+
+def test_joint_peaks_unique_on_large_images():
+    """One peak per blob even when H*W > 2^19 (regression: a fixed 19-bit
+    key shift aliased linear indices into box counts at 768x1024, yielding
+    duplicate or wrong peaks in the bottom of the image)."""
+    from cylinder_pose_estimation_tpu.models.detector import _joint_peaks
+    from cylinder_pose_estimation_tpu.ops.image import box_filter
+    from cylinder_pose_estimation_tpu.ops import labeling
+
+    assert labeling.peak_key_shift(768, 1024, 11) == 20
+    h, w = 768, 1024
+    m = np.zeros((h, w), bool)
+    # blobs in the lin > 2^19 region (row 600+) with differing sizes
+    m[600:603, 100:103] = True
+    m[700:705, 900:905] = True
+    m[760:762, 1000:1002] = True
+    joints = jnp.asarray(m)
+    cnt = box_filter(joints.astype(jnp.float32), 11, mode="constant",
+                     normalize=False)
+    peak = np.asarray(_joint_peaks(joints, cnt, peak_iters=5, window=11))
+    # exactly one peak per connected blob
+    assert peak.sum() == 3
+    assert peak[600:603, 100:103].sum() == 1
+    assert peak[700:705, 900:905].sum() == 1
+    assert peak[760:762, 1000:1002].sum() == 1
