@@ -107,15 +107,16 @@ class DetectConfig:
                                  # one-hot passes; gates keep px meaning via
                                  # a 2x moment rescale; A/B parity exact and
                                  # -0.09 ms/frame, job 027)
-    pallas_cc_pools: int = 2     # 3x3 min-pools per CC round (diagonal/local
+    pallas_cc_pools: int = 1     # 3x3 min-pools per CC round (diagonal/local
                                  # hops between the row/col segmented scans)
                                  # for the pre- and post-bridge labelings.
                                  # Line masks are scan-friendly (runs along
-                                 # rows/cols do the long-range work): 2 pools
-                                 # was xy-identical to 4 over the 16-scene
-                                 # bench with exact A/B parity and -0.045
-                                 # ms/frame (r2 sweep 011, revalidated post
-                                 # bridge-stats fix in job 012)
+                                 # rows/cols do the long-range work; the pool
+                                 # only has to carry labels across diagonal
+                                 # steps between scans): 1 pool/round was
+                                 # xy-identical to 2 and 4 over the 16-scene
+                                 # bench with exact A/B parity (r2 sweeps
+                                 # 011/012/017; 4 -> 1 is -0.07 ms/frame)
     roi_blob_k: int = 32         # component slots for the largest-blob ROI
                                  # stats at quarter res (the (HW/16, K)
                                  # one-hot reductions scale linearly in K;

@@ -136,8 +136,6 @@ def _joint_centroids(
     Returns (centroids (P, 2) float, valid (P,)) with P = cfg.max_points.
     """
     h, w = joints.shape
-    hw = h * w
-    lin = (jnp.arange(hw, dtype=jnp.int32)).reshape(h, w)
     if precomputed is not None:
         peak_f, cx, cy = precomputed
         peak = peak_f > 0.5
@@ -152,25 +150,50 @@ def _joint_centroids(
         c = jnp.maximum(cnt, 1.0)
         cx = jnp.floor(sx / c)
         cy = jnp.floor(sy / c)
-    # Compact peak positions via a 4x4 block-reduce before the (costly)
-    # nonzero: distinct blobs' peaks sit near their blob centers, so two
-    # peaks share a 4x4 block only when two blob centers are < 4 px apart
-    # -- below any workable grid spacing -- and each block holds at most
-    # one peak, reducing the nonzero from H*W to H*W/16 elements.
-    pk = jnp.where(peak, lin, -1)
+    # Compact peak positions via a 4x4 block-reduce before ranking: distinct
+    # blobs' peaks sit near their blob centers, so two peaks share a 4x4
+    # block only when two blob centers are < 4 px apart -- below any
+    # workable grid spacing -- and each block holds at most one peak,
+    # reducing the compaction from H*W to H*W/16 elements.  The centroid
+    # PAYLOAD (cx, cy at the peak) rides the same block reduce (max with a
+    # -1 background; at most one peak per block makes the max exact), so the
+    # compaction is one one-hot MXU matmul with NO full-res dynamic gathers
+    # (two 512-index gathers from a 307k-element image measured ~0.05
+    # ms/frame on v5e -- TPU gathers are disproportionately slow).
+    neg1 = jnp.float32(-1.0)
+    pkx = jnp.where(peak, cx, neg1)
+    pky = jnp.where(peak, cy, neg1)
     ph = (-h) % 4
     pw = (-w) % 4
     if ph or pw:
-        pk = jnp.pad(pk, ((0, ph), (0, pw)), constant_values=-1)
-    blk = jax.lax.reduce_window(
-        pk, jnp.int32(-1), jax.lax.max, (4, 4), (4, 4), "VALID"
+        pkx = jnp.pad(pkx, ((0, ph), (0, pw)), constant_values=-1.0)
+        pky = jnp.pad(pky, ((0, ph), (0, pw)), constant_values=-1.0)
+    blkx = jax.lax.reduce_window(
+        pkx, neg1, jax.lax.max, (4, 4), (4, 4), "VALID"
     ).reshape(-1)
-    nb = blk.shape[0]
-    bidx, valid = labeling.compact_true_indices(blk >= 0, cfg.max_points)
-    lin_idx = jnp.where(valid, blk[jnp.clip(bidx, 0, nb - 1)], 0)
-    cents = jnp.stack(
-        [cx.reshape(-1)[lin_idx], cy.reshape(-1)[lin_idx]], axis=-1
+    blky = jax.lax.reduce_window(
+        pky, neg1, jax.lax.max, (4, 4), (4, 4), "VALID"
+    ).reshape(-1)
+    nb = blkx.shape[0]
+    has_peak = blkx >= 0.0
+    pos = labeling.prefix_rank(has_peak)
+    k = cfg.max_points
+    sel = (
+        has_peak[:, None] & (pos[:, None] == jnp.arange(k)[None, :])
+    ).astype(jnp.float32)  # (nb, k)
+    payload = jnp.stack(
+        [blkx, blky, jnp.ones((nb,), jnp.float32)], axis=-1
     )
+    picked = jax.lax.dot_general(
+        sel, payload,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # HIGHEST: centroids are exact integer-valued floats up to W
+        # (floor'd box moments); bf16 would quantize coordinates > 256.
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (k, 3)
+    valid = picked[:, 2] > 0.5
+    cents = picked[:, :2]
     return jnp.where(valid[:, None], cents, 0.0), valid
 
 

@@ -103,6 +103,47 @@ def estimate_poses_batch(
     return StereoPoseResult(detect1=d1, detect2=d2, fit=fit)
 
 
+def estimate_poses_stream(
+    images1,
+    images2,
+    stereo: StereoParams,
+    detect_cfg: DetectConfig,
+    fit_cfg: FitConfig = FitConfig(),
+    chunk: int = 64,
+):
+    """Bounded-device-memory estimate_poses_batch for long sequences.
+
+    The 10k-frame end-to-end config (BASELINE.md) cannot hold all frames in
+    HBM at once (10k x 480x640 f32 x 2 views = ~25 GB), so this streams
+    fixed-size ``chunk`` slices through ONE compiled step: a host loop feeds
+    each chunk (the tail is padded by repeating the last frame so shapes
+    stay static -- no recompile), results are materialized to host numpy per
+    chunk, and device memory stays O(chunk).  Numerically identical to one
+    big estimate_poses_batch call (vmap is elementwise over frames).
+
+    images1/images2: (N, H, W) arrays (numpy / memmap accepted).  Returns a
+    StereoPoseResult of host numpy arrays with the padding dropped.
+    """
+    import numpy as np
+
+    n = images1.shape[0]
+    step = jax.jit(
+        lambda a, b: estimate_poses_batch(a, b, stereo, detect_cfg, fit_cfg)
+    )
+    outs = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        a = np.asarray(images1[s:e])
+        b = np.asarray(images2[s:e])
+        pad = chunk - (e - s)
+        if pad:
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            b = np.concatenate([b, np.repeat(b[-1:], pad, axis=0)])
+        r = step(jnp.asarray(a), jnp.asarray(b))
+        outs.append(jax.tree.map(lambda x: np.asarray(x)[: e - s], r))
+    return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+
+
 def frame_health(
     batch: StereoPoseResult,
     reg_cfg: RegistrationConfig = RegistrationConfig(),

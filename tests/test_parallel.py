@@ -199,3 +199,35 @@ def test_shard_map_fit_matches_vmap():
     )
     out = fn(gp1, gp2)
     _assert_fits_equivalent(out, ref)
+
+
+@pytest.mark.slow
+def test_stream_matches_batch():
+    """estimate_poses_stream (bounded-memory host chunking for the 10k-frame
+    config) is numerically identical to one estimate_poses_batch call,
+    including a padded tail chunk."""
+    from cylinder_pose_estimation_tpu.models.pipeline import (
+        estimate_poses_stream,
+    )
+
+    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0, baseline=30.0)
+    i1, i2 = _frames(stereo, 5)
+    cfg = CylinderDetectConfig(height=H, width=W, cc_iters=8)
+    fit_cfg = FitConfig(cyl_radius=55.0, lm_iters=20)
+
+    ref = jax.jit(
+        lambda a, b: estimate_poses_batch(a, b, stereo, cfg, fit_cfg)
+    )(i1, i2)
+    got = estimate_poses_stream(i1, i2, stereo, cfg, fit_cfg, chunk=2)
+
+    np.testing.assert_array_equal(
+        np.asarray(got.detect1.grid.valid), np.asarray(ref.detect1.grid.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.detect1.grid.xy), np.asarray(ref.detect1.grid.xy),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.fit.mean_reproj_error),
+        np.asarray(ref.fit.mean_reproj_error), atol=1e-4,
+    )
