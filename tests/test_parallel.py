@@ -114,9 +114,18 @@ def test_sharded_pipeline_matches_unsharded():
     stereo = default_stereo(cx=W / 2.0, cy=H / 2.0, baseline=30.0)
     i1, i2 = _frames(stereo, N_DEV)
     angles = jnp.asarray(_ANGLES)
-    cfg = CylinderDetectConfig(height=H, width=W, cc_iters=8)
+    # min_ok_points proportionate to these small 192x256 scenes (~24-point
+    # grids): the production default (20) would mark the sparse-but-good
+    # tilted frames not-ok and leave registration only 2 near-identical
+    # viewpoints -- an ill-conditioned problem this test isn't about.
+    cfg = CylinderDetectConfig(height=H, width=W, cc_iters=8, min_ok_points=5)
     fit_cfg = FitConfig(cyl_radius=55.0, lm_iters=40)
-    reg_cfg = RegistrationConfig(cyl_radius=55.0, lm_iters=10)
+    # min_frame_points proportionate too: these miniature frames carry
+    # 5-24 triangulated points, and dropping the sparse tilted frames
+    # starves the registration of angular spread (the 6-dof objective
+    # goes gauge-flat with <= 5 near-coplanar viewpoints).
+    reg_cfg = RegistrationConfig(cyl_radius=55.0, lm_iters=10,
+                                 min_frame_points=5)
 
     batch_ref, reg_ref = jax.jit(
         lambda a, b, g: full_experiment(a, b, g, stereo, cfg, fit_cfg, reg_cfg)
@@ -143,7 +152,11 @@ def test_sharded_pipeline_matches_unsharded():
 def test_shard_map_pose_matches_vmap():
     stereo = default_stereo(cx=W / 2.0, cy=H / 2.0, baseline=30.0)
     i1, i2 = _frames(stereo, N_DEV)
-    cfg = CylinderDetectConfig(height=H, width=W, cc_iters=8)
+    # min_ok_points proportionate to these small 192x256 scenes (~24-point
+    # grids): the production default (20) would mark the sparse-but-good
+    # tilted frames not-ok and leave registration only 2 near-identical
+    # viewpoints -- an ill-conditioned problem this test isn't about.
+    cfg = CylinderDetectConfig(height=H, width=W, cc_iters=8, min_ok_points=5)
     fit_cfg = FitConfig(cyl_radius=55.0, lm_iters=40)
 
     ref = jax.jit(
@@ -212,7 +225,11 @@ def test_stream_matches_batch():
 
     stereo = default_stereo(cx=W / 2.0, cy=H / 2.0, baseline=30.0)
     i1, i2 = _frames(stereo, 5)
-    cfg = CylinderDetectConfig(height=H, width=W, cc_iters=8)
+    # min_ok_points proportionate to these small 192x256 scenes (~24-point
+    # grids): the production default (20) would mark the sparse-but-good
+    # tilted frames not-ok and leave registration only 2 near-identical
+    # viewpoints -- an ill-conditioned problem this test isn't about.
+    cfg = CylinderDetectConfig(height=H, width=W, cc_iters=8, min_ok_points=5)
     fit_cfg = FitConfig(cyl_radius=55.0, lm_iters=20)
 
     ref = jax.jit(
