@@ -183,26 +183,31 @@ class DetectConfig:
                                  # round ~0.05 ms/frame at half-res on v5e.
                                  # Raise if scenes with more direction
                                  # changes ever miss parity.
-    pallas_cc_rounds_prebridge: int = 2  # the pre-bridge labeling sees only
+    pallas_cc_rounds_prebridge: int = 3  # the pre-bridge labeling sees only
                                  # un-bridged line fragments (smooth arcs, no
-                                 # bends).  1 round is A/B-parity exact at
-                                 # 480x640 (job 022) but LOSES 7/28 points on
-                                 # a 240x320 scene (under-converged labels
-                                 # split fragments, flipping the long-skip
-                                 # gate) -- 2 is the robust setting across
-                                 # resolutions
-                                 # for margin); A/B parity vs the fully-
-                                 # converged XLA labels is the check
+                                 # bends), but its labels feed the bridge's
+                                 # long-skip gate, so UNDER-convergence
+                                 # splits fragments and flips gates: 2
+                                 # rounds at pools=1 measurably diverged
+                                 # from the converged XLA labels once
+                                 # bridging went active (bridge-mask delta
+                                 # 698 px on a bench scene); 3 rounds is
+                                 # exact there and keeps margin.  A/B parity
+                                 # vs the fully-converged XLA labels is the
+                                 # check
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
-    bridge_half_res: bool = True  # run the bridge morphology kernel at
-                                 # label (half) resolution with kernel
-                                 # reach halved: bridged masks only feed
-                                 # the half-res labeling CC, so this
-                                 # quarters the dominant bridge cost.
-                                 # Parity-gated before adoption: 16-scene
-                                 # A/B vs both the full-res Pallas chain
-                                 # and the XLA chain is exact
-                                 # (448/448 pts, 0.0 px -- job 014).
+    bridge_half_res: bool = True  # run the ENTIRE bridge (stats + endpoint
+                                 # probes + oriented dilation) at label
+                                 # (half) resolution with kernel reach and
+                                 # probe halved, on BOTH backends: bridged
+                                 # masks only feed the half-res labeling CC,
+                                 # so this quarters the dominant bridge cost
+                                 # -- and sharing the resolution across the
+                                 # Pallas and XLA paths is what makes the
+                                 # A/B parity gate meaningful now that
+                                 # bridging is active (a full-res XLA bridge
+                                 # vs a half-res Pallas bridge legitimately
+                                 # differ by ~0.14 px on bridged scenes).
     stage_probe: str = ""        # profiling only: truncate detect_grid after
                                  # the named stage (preprocess/centroids/roi/
                                  # seed/carve/bridge/labels/assign/polyfit/

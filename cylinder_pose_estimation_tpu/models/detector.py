@@ -61,6 +61,27 @@ from cylinder_pose_estimation_tpu.types import DetectResult, GridPoints
 _MAX_COMPONENTS = 48  # per-mask line components tracked for angles/gating
 
 
+def _border_margin(cfg: DetectConfig) -> int:
+    """Border band discarded by the binarize chain.
+
+    Must cover the chain's full stencil reach -- Gaussian blur radius +
+    scipy sigma-Gaussian radius + two central-difference passes + Sauvola
+    box radius, +1 safety -- so the Pallas kernel's circular rolls can never
+    leak opposite-edge content into KEPT pixels (with the old
+    margin=line_kernel_len=20 and a reach of 23, pixels 20-22 from an edge
+    read up to 3 wrapped rows, silently breaking bit-exact A/B parity on
+    border-content scenes).  Also at least the line-opening length, below
+    which edge-clipped line responses fragment."""
+    reach = (
+        (cfg.blur_ksize - 1) // 2
+        + int(4.0 * cfg.ridge_sigma + 0.5)
+        + 2
+        + cfg.sauvola_window // 2
+        + 1
+    )
+    return max(cfg.line_kernel_len, reach)
+
+
 def _cc(mask: jnp.ndarray, xla_iters: int, cfg: DetectConfig, frac: float = 1.0):
     """Connected components: Pallas VMEM propagation or the XLA scan path.
 
@@ -252,23 +273,34 @@ def _stats_images(
     h, w = gray.shape
     rr = jnp.arange(h)[:, None]
     cc_ = jnp.arange(w)[None, :]
-    mrg = cfg.line_kernel_len
+    mrg = _border_margin(cfg)
     inside = (rr >= mrg) & (rr < h - mrg) & (cc_ >= mrg) & (cc_ < w - mrg)
 
     gt = mxc.gauss_taps_cv(cfg.sat_blur_ksize)
     sat = mxc.conv_y(mxc.conv_x(gray, mxc.x_mat(gt, w)), mxc.y_mat(gt, h))
     sat_mask = (sat > cfg.sat_threshold) & inside
 
+    # Brightness images feed ARGMAX decisions (center seed, grid origin):
+    # exact mode keeps f32 operands at HIGHEST so chained first-pass sums
+    # (~2805 for an 11-box over gray 255) are not bf16-recast by the second
+    # pass (rounding there measured large enough to swap near-tied argmax
+    # candidates vs the cumsum box-filter fallback).
     pc = 2 * cfg.center_patch_half + 1
     bt = mxc.box_taps(pc)
-    bc = mxc.conv_y(mxc.conv_x(gray, mxc.x_mat(bt, w)), mxc.y_mat(bt, h))
+    bc = mxc.conv_y(
+        mxc.conv_x(gray, mxc.x_mat(bt, w, exact=True), exact=True),
+        mxc.y_mat(bt, h, exact=True), exact=True,
+    )
     bright_center = bc / float(pc * pc)
 
     pi = 2 * cfg.patch_half_min + 1
     ct = mxc.compose_taps(
         mxc.gauss_taps_cv(cfg.index_blur_ksize), mxc.box_taps(pi)
     )
-    bi = mxc.conv_y(mxc.conv_x(gray, mxc.x_mat(ct, w)), mxc.y_mat(ct, h))
+    bi = mxc.conv_y(
+        mxc.conv_x(gray, mxc.x_mat(ct, w, exact=True), exact=True),
+        mxc.y_mat(ct, h, exact=True), exact=True,
+    )
     bright_index = bi / float(pi * pi)
 
     jb = mxc.box_taps(joint_window)
@@ -755,6 +787,8 @@ def _bridge(
     kernel_len: jnp.ndarray,
     max_kernel_len: int,
     cfg: DetectConfig,
+    pre_pooled: bool = False,
+    probe_len: int | None = None,
 ) -> jnp.ndarray:
     """Bridge broken line segments along their direction -- XLA path
     (ref expands_line_roi utils/util_cylinder.py:137-237).
@@ -768,18 +802,29 @@ def _bridge(
     max-pool): component identity survives pooling for line masks whose
     spacing exceeds 2 px, the angle/extent statistics feed px-scale gates
     where half-pixel quantization is immaterial, and the three labeling
-    stages are the detector's most expensive ops (4x fewer pixels)."""
+    stages are the detector's most expensive ops (4x fewer pixels).
+
+    ``pre_pooled``: the mask is ALREADY at label (half) resolution on the
+    padded canvas, and the morphology runs there too -- the XLA expression
+    of the shared half-res bridge algorithm (cfg.bridge_half_res); the
+    caller halves kernel/probe lengths.  Required for exact A/B parity with
+    the Pallas path now that bridging is active: a full-res XLA bridge and a
+    half-res Pallas bridge legitimately produce different masks."""
     h_img, w_img = mask.shape
     ds = cfg.label_downsample
+    probe = cfg.endpoint_probe_len if probe_len is None else probe_len
     out = mask
     for _ in range(cfg.bridge_repeats):
-        small = _pool2_pad(out) if ds == 2 else out
+        if pre_pooled:
+            small = out
+        else:
+            small = _pool2_pad(out) if ds == 2 else out
         labels = _cc(small, cfg.cc_iters // 2, cfg, frac=1.0)
         angle, exp_img = _bridge_angle_exp(small, labels, base_angle, cfg, scale=ds)
-        if ds == 2:
+        if ds == 2 and not pre_pooled:
             exp_img = _upsample2(exp_img, h_img, w_img)
-        fwd = morphology.directional_count(out, angle, cfg.endpoint_probe_len, +1)
-        bwd = morphology.directional_count(out, angle, cfg.endpoint_probe_len, -1)
+        fwd = morphology.directional_count(out, angle, probe, +1)
+        bwd = morphology.directional_count(out, angle, probe, -1)
         endpoints = out & exp_img & ((fwd <= 1.0) | (bwd <= 1.0))
         grown = morphology.dilate_line(endpoints, angle, max_kernel_len, kernel_len)
         grown = morphology.dilate_rect(grown, 3, 3)  # give the line thickness
@@ -799,8 +844,27 @@ def _bridge_pair(
     Pallas path: one batched CC launch for both masks, then ONE fused VMEM
     bridge-morphology kernel (probes + oriented dilation + 3x3 open) for the
     pair -- replacing ~40 HBM-bound XLA shift passes per mask.  XLA path:
-    the portable per-mask _bridge."""
+    the portable per-mask _bridge.
+
+    Under bridge_half_res (+ label_downsample 2) BOTH paths run the SAME
+    half-res algorithm -- pooled masks, halved kernel reach and probe --
+    and return masks on the half-res padded canvas (their only consumer is
+    the half-res labeling CC).  One algorithm, two backends: anything else
+    makes the A/B parity gate compare two different bridges."""
+    half_shared = cfg.label_downsample == 2 and getattr(
+        cfg, "bridge_half_res", False
+    )
     if not cfg.use_pallas:
+        if half_shared:
+            kl = kernel_len / 2.0
+            mk = max(max_kernel_len // 2, 1)
+            pr = max(2, (cfg.endpoint_probe_len + 1) // 2)
+            return (
+                _bridge(_pool2_pad(mh), 0.0, kl, mk, cfg,
+                        pre_pooled=True, probe_len=pr),
+                _bridge(_pool2_pad(mv), jnp.pi / 2, kl, mk, cfg,
+                        pre_pooled=True, probe_len=pr),
+            )
         return (
             _bridge(mh, 0.0, kernel_len, max_kernel_len, cfg),
             _bridge(mv, jnp.pi / 2, kernel_len, max_kernel_len, cfg),
@@ -1101,7 +1165,7 @@ def detect_grid(
             sauvola_r=cfg.sauvola_r,
             min_contrast=0.05,
             line_len=cfg.line_kernel_len,
-            margin=cfg.line_kernel_len,
+            margin=_border_margin(cfg),
             joint_peak_iters=cfg.joint_peak_iters,
             interpret=cfg.pallas_interpret,
         )
@@ -1123,12 +1187,12 @@ def detect_grid(
             cfg.sauvola_r,
             min_contrast=0.05,
         )
-        # Same border-margin band as the Pallas kernel (margin=line_kernel_len)
-        # so the two paths agree bit-for-bit at image edges.  The reference's
+        # Same border-margin band as the Pallas kernel (_border_margin) so
+        # the two paths agree bit-for-bit at image edges.  The reference's
         # own border ridges are constant-padding artifacts that its blob ROI
         # discards (NEXT.md known deviations); blessing the margin as the spec
         # makes A/B parity exact instead of "exact except border scenes".
-        mrg = cfg.line_kernel_len
+        mrg = _border_margin(cfg)
         rr = jnp.arange(gray.shape[0])[:, None]
         cc = jnp.arange(gray.shape[1])[None, :]
         inside = (
@@ -1221,11 +1285,11 @@ def detect_grid(
     # keys for the centroids, and 2x2 pooling preserves component identity
     # for line masks spaced > 2 px apart)
     ds = cfg.label_downsample
-    if ds == 2 and not (cfg.use_pallas and getattr(cfg, "bridge_half_res", False)):
+    if ds == 2 and not getattr(cfg, "bridge_half_res", False):
         hv_masks = jnp.stack([_pool2_pad(h_exp), _pool2_pad(v_exp)])
     else:
         # bridge_half_res: _bridge_pair already returned masks on the
-        # half-res padded canvas; label them directly.
+        # half-res padded canvas (BOTH paths); label them directly.
         hv_masks = jnp.stack([h_exp, v_exp])
     if cfg.use_pallas:
         from cylinder_pose_estimation_tpu.ops.pallas.frontend import (

@@ -78,17 +78,16 @@ def sep_filter2d(
 
 
 def gaussian_kernel1d_cv(ksize: int, sigma: float = 0.0) -> jnp.ndarray:
-    """cv2.getGaussianKernel semantics (incl. the sigma<=0 size rule).
+    """cv2.getGaussianKernel semantics, incl. the sigma<=0 size rule AND
+    OpenCV's hardcoded small-kernel table for ksize <= 7 (the reference's
+    GaussianBlur(k, 0) calls resolve to the table for its 5x5/7x7 blurs).
 
-    sigma <= 0 -> sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8 (cv2 docs), which is
-    what the reference's GaussianBlur(k, 0) calls resolve to.
-    """
-    if sigma <= 0:
-        sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
-    r = (ksize - 1) / 2.0
-    x = jnp.arange(ksize, dtype=jnp.float32) - r
-    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
-    return k / jnp.sum(k)
+    Taps come from the single shared source (ops.mxu_conv.gauss_taps_cv) so
+    the XLA filters, the MXU statistic images, and the Pallas kernel can
+    never desynchronize."""
+    from cylinder_pose_estimation_tpu.ops.mxu_conv import gauss_taps_cv
+
+    return jnp.asarray(gauss_taps_cv(ksize, sigma), dtype=jnp.float32)
 
 
 def gaussian_blur_cv(
@@ -100,11 +99,12 @@ def gaussian_blur_cv(
 
 
 def gaussian_kernel1d_scipy(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
-    """scipy.ndimage.gaussian_filter's kernel: radius = round(truncate*sigma)."""
-    radius = int(truncate * sigma + 0.5)
-    x = jnp.arange(2 * radius + 1, dtype=jnp.float32) - radius
-    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
-    return k / jnp.sum(k)
+    """scipy.ndimage.gaussian_filter's kernel: radius = round(truncate*sigma).
+
+    Taps from the single shared source (ops.mxu_conv.gauss_taps_scipy)."""
+    from cylinder_pose_estimation_tpu.ops.mxu_conv import gauss_taps_scipy
+
+    return jnp.asarray(gauss_taps_scipy(sigma, truncate), dtype=jnp.float32)
 
 
 def gaussian_blur_scipy(

@@ -10,10 +10,13 @@ equivalents over fixed shapes:
     across an entire straight run in one step -- so convergence needs
     O(#bends) rounds, not O(component diameter).  8-connectivity is restored
     by a 3x3 min-pool between scans.  Iteration count is static (config).
-  * per-component stats: one jax.ops.segment_sum keyed by the label image
-    (labels are root linear indices; num_segments = H*W + 1).
-  * top-K components by pixel count -> compact (K,) slots with masks, giving
-    the fixed-capacity "contour list" every downstream stage consumes.
+  * per-component stats: either sort-based segment reduction
+    (``component_stats``, any component count) or scan-order first-K
+    enumeration with one-hot MXU reductions (``component_stats_first_k``,
+    the hot-path form) -- scatter-style segment_sum was measured pathological
+    on TPU (~12 ms/call) and is deliberately NOT used anywhere here.
+  * top/first-K components -> compact (K,) slots with masks, giving the
+    fixed-capacity "contour list" every downstream stage consumes.
 """
 
 from __future__ import annotations
@@ -120,6 +123,13 @@ def component_stats(labels: jnp.ndarray, k: int, min_area: int = 1) -> Component
          cumsum differences at run ends, per-run min/max via segmented scans;
       3. run lengths from consecutive run-start positions; top-K components
          selected by argsort(-length) -- another cheap sort.
+
+    Precision caveat: per-run moment sums come from differences of a full-
+    image f32 cumsum whose magnitude reaches ~4e10 for the x^2/y^2 payload
+    at 480x640, so late-sorted runs carry absolute moment error up to ~2.5e3
+    (~0.05 px of centroid).  Exact counts/roots/bboxes; approximate moments.
+    The hot path uses component_stats_first_k, whose one-hot reductions are
+    exact -- prefer it when K slots suffice.
     """
     h, w = labels.shape
     hw = h * w
@@ -419,7 +429,10 @@ def largest_component_mask(labels: jnp.ndarray, k: int = 128) -> jnp.ndarray:
     onehot = (flat[:, None] == root_k[None, :]) & (root_k[None, :] < hw)
     cnt = jnp.sum(onehot, axis=0)
     li = jnp.argmax(cnt)
-    return labels == root_k[li]
+    # Empty-mask gate: with no components every root_k slot is hw and
+    # `labels == hw` would be True on all BACKGROUND pixels (the whole
+    # image); demand a real root.
+    return (labels == root_k[li]) & (root_k[li] < hw)
 
 
 def component_orientation(stats: ComponentStats) -> jnp.ndarray:

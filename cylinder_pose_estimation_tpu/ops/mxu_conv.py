@@ -13,14 +13,16 @@ Border semantics: ZERO padding -- the band is clipped at the matrix edge.
 Call sites must either mask borders (the detector's margin band) or only
 consume interior pixels.
 
-Exactness: operands are cast to bf16 and accumulated in f32
+Exactness: by default operands are cast to bf16 and accumulated in f32
 (``preferred_element_type``).  A product of two bf16 values is exactly
-representable in f32, so for integer-valued taps and images (box filters
-over 0/1 masks, gray values <= 255, |t|-ramp taps) the results are EXACT
-integers -- bit-identical to any f32 formulation.  For Gaussian taps the
-only inexactness is the bf16 rounding of taps and operands; every caller
-(Pallas kernel and XLA path alike) shares these helpers so both paths see
-identical values.
+representable in f32, so a SINGLE pass over integer-valued taps and images
+with values < 256 (box/ramp filters over 0/1 masks) is EXACT.  CHAINED
+passes whose intermediates exceed 256 (box sums of gray <= 255 reach ~2805)
+are NOT: the second pass's bf16 cast rounds them -- use ``exact=True``
+(f32 operands at HIGHEST precision) for such chains.  For Gaussian taps the
+default's inexactness is the bf16 rounding of taps and operands; every
+caller (Pallas kernel and XLA path alike) shares these helpers so both
+paths see identical values.
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ __all__ = [
     "box_taps",
     "ramp_taps",
     "gauss_taps_cv",
+    "gauss_taps_scipy",
     "compose_taps",
     "conv_x",
     "conv_y",
@@ -56,10 +59,42 @@ def ramp_taps(n: int) -> tuple:
     return tuple(float(t - r) for t in range(n))
 
 
-def gauss_taps_cv(ksize: int) -> tuple:
-    """cv2.getGaussianKernel taps (sigma<=0 size rule) as Python floats."""
-    sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
+# cv2.getGaussianKernel's hardcoded small_gaussian_tab: for sigma <= 0 and
+# ksize <= 7 OpenCV returns these FIXED taps, not the sigma-formula Gaussian
+# (opencv modules/imgproc/src/smooth.dispatch.cpp).  The reference's
+# GaussianBlur(img, (5,5), 0) / (7,7) calls therefore use the table.
+_CV_SMALL_GAUSSIAN = {
+    1: (1.0,),
+    3: (0.25, 0.5, 0.25),
+    5: (0.0625, 0.25, 0.375, 0.25, 0.0625),
+    7: (0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125),
+}
+
+
+def gauss_taps_cv(ksize: int, sigma: float = 0.0) -> tuple:
+    """cv2.getGaussianKernel taps as Python floats.
+
+    Matches OpenCV's full sigma<=0 behavior: ksize <= 7 takes the hardcoded
+    small-kernel table (exact binary fractions; the 0.3*((k-1)/2-1)+0.8
+    formula deviates from it by up to 13% per tap), larger ksize uses the
+    formula."""
+    if sigma <= 0 and ksize in _CV_SMALL_GAUSSIAN:
+        return _CV_SMALL_GAUSSIAN[ksize]
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
     x = np.arange(ksize) - (ksize - 1) / 2.0
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    k = k / k.sum()
+    return tuple(float(v) for v in k)
+
+
+def gauss_taps_scipy(sigma: float, truncate: float = 4.0) -> tuple:
+    """scipy.ndimage.gaussian_filter1d taps (radius = int(truncate*sigma+.5))
+    as Python floats -- the ONE shared source for the sigma-3 ridge filter
+    (ops/image.gaussian_kernel1d_scipy and the Pallas preprocess kernel both
+    derive from this, so the A/B paths cannot desynchronize)."""
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(2 * radius + 1) - radius
     k = np.exp(-(x * x) / (2.0 * sigma * sigma))
     k = k / k.sum()
     return tuple(float(v) for v in k)
@@ -74,7 +109,7 @@ def compose_taps(a: tuple, b: tuple) -> tuple:
 
 
 @functools.lru_cache(maxsize=64)
-def band_matrix(taps: tuple, n: int) -> np.ndarray:
+def band_matrix(taps: tuple, n: int, exact: bool = False) -> np.ndarray:
     """(n, n) bf16 banded correlation matrix B with B[j, i] = taps[j-i+r].
 
     For a row-vector image row x (length n), (x @ B)[i] =
@@ -82,21 +117,26 @@ def band_matrix(taps: tuple, n: int) -> np.ndarray:
     padding.  Rounded to bf16 once here so every user of the same taps sees
     identical rounded weights.
     """
+    assert len(taps) % 2 == 1, (
+        "centered-correlation band matrices require ODD tap counts: for even "
+        "lengths the reversed-tap y_mat anchors one element off x_mat, "
+        "silently skewing y vs x"
+    )
     r = len(taps) // 2
     m = np.zeros((n, n), np.float32)
     for t, v in enumerate(taps):
         off = t - r  # source index j = i + off
         d = np.arange(max(0, -off), min(n, n - off))
         m[d + off, d] = v
-    return m.astype(jnp.bfloat16)
+    return m.astype(np.float32 if exact else jnp.bfloat16)
 
 
-def x_mat(taps: tuple, w: int) -> np.ndarray:
+def x_mat(taps: tuple, w: int, exact: bool = False) -> np.ndarray:
     """Right-multiplication matrix for conv_x: (img @ x_mat)."""
-    return band_matrix(tuple(taps), w)
+    return band_matrix(tuple(taps), w, exact)
 
 
-def y_mat(taps: tuple, h: int) -> np.ndarray:
+def y_mat(taps: tuple, h: int, exact: bool = False) -> np.ndarray:
     """Left-multiplication matrix for conv_y: (y_mat @ img).
 
     Uses the reversed-tap band so a STANDARD matmul contraction (rows of
@@ -104,13 +144,27 @@ def y_mat(taps: tuple, h: int) -> np.ndarray:
     correlation -- standard layouts keep Mosaic/XLA from inserting
     transposes.  For odd tap counts band(reversed)[i, j] = taps[j - i + r],
     exactly the weight conv_y needs."""
-    return band_matrix(tuple(taps)[::-1], h)
+    return band_matrix(tuple(taps)[::-1], h, exact)
 
 
-def conv_x(img: jnp.ndarray, bmat: jnp.ndarray) -> jnp.ndarray:
+def conv_x(img: jnp.ndarray, bmat: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     """Correlate along the last axis (width): img (..., H, W) @ bmat (W, W).
 
-    Returns f32 (bf16 operands, f32 accumulation on the MXU)."""
+    Default: bf16 operands, f32 accumulation (one MXU pass).  ``exact=True``
+    keeps f32 operands at HIGHEST precision -- REQUIRED for chained
+    conv_y(conv_x(...)) whose intermediates exceed 256 (e.g. box sums of
+    gray <= 255: first-pass sums ~2805 would be bf16-recast to 2800 by the
+    second pass, flipping brightness argmaxes); ~3x the MXU passes, still
+    microseconds at image sizes.  Pass x_mat(..., exact=True) with it so the
+    taps are not pre-rounded."""
+    if exact:
+        return jax.lax.dot_general(
+            img.astype(jnp.float32),
+            bmat.astype(jnp.float32),
+            dimension_numbers=(((img.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return jax.lax.dot_general(
         img.astype(jnp.bfloat16),
         bmat.astype(jnp.bfloat16),
@@ -119,10 +173,18 @@ def conv_x(img: jnp.ndarray, bmat: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def conv_y(img: jnp.ndarray, amat: jnp.ndarray) -> jnp.ndarray:
+def conv_y(img: jnp.ndarray, amat: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     """Correlate along axis 0 (height): (amat @ img) with amat from y_mat.
 
-    Returns f32 (bf16 operands, f32 accumulation on the MXU)."""
+    See conv_x for the ``exact`` contract."""
+    if exact:
+        return jax.lax.dot_general(
+            amat.astype(jnp.float32),
+            img.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return jax.lax.dot_general(
         amat.astype(jnp.bfloat16),
         img.astype(jnp.bfloat16),

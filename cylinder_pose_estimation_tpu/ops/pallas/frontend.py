@@ -39,15 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 import numpy as _np
 
 from cylinder_pose_estimation_tpu.ops import labeling
-from cylinder_pose_estimation_tpu.ops.mxu_conv import gauss_taps_cv as _gauss_taps_cv
-
-
-def _gauss_taps_scipy(sigma: float, truncate: float = 4.0) -> tuple:
-    radius = int(truncate * sigma + 0.5)
-    x = _np.arange(2 * radius + 1) - radius
-    k = _np.exp(-(x * x) / (2.0 * sigma * sigma))
-    k = k / k.sum()
-    return tuple(float(v) for v in k)
+from cylinder_pose_estimation_tpu.ops.mxu_conv import (
+    gauss_taps_cv as _gauss_taps_cv,
+    gauss_taps_scipy as _gauss_taps_scipy,
+)
 
 
 def _roll(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:

@@ -362,6 +362,8 @@ def test_bridge_closes_gap_with_default_config():
     (ref expands_line_roi utils/util_cylinder.py:137-237)."""
     from cylinder_pose_estimation_tpu.models.detector import _bridge
 
+    from cylinder_pose_estimation_tpu.models.detector import _bridge_pair
+
     cfg = CylinderDetectConfig(height=H, width=W)
     assert cfg.bridge_stats_quarter  # the shipped default under test
     m = np.zeros((H, W), bool)
@@ -371,12 +373,21 @@ def test_bridge_closes_gap_with_default_config():
     m[121, 40:140] = True
     m[120, 160:280] = True
     m[121, 160:280] = True
+    # full-res variant (bridge_half_res off)
     out = np.asarray(
         _bridge(jnp.asarray(m), 0.0, jnp.float32(60.0), 120, cfg)
     )
-    assert out[118:124, 140:160].any(), "gap must be bridged"
+    assert out[118:124, 140:160].any(), "gap must be bridged (full res)"
     # the long line must NOT have been erased
     assert out[60, 40:280].all()
+    # shipped path: shared half-res bridge via _bridge_pair (masks come back
+    # on the half-res padded canvas; full-res row 120 -> 60, cols -> //2)
+    assert cfg.bridge_half_res
+    mh, _ = _bridge_pair(
+        jnp.asarray(m), jnp.zeros((H, W), bool), jnp.float32(60.0), 120, cfg
+    )
+    mh = np.asarray(mh)
+    assert mh[59:62, 70:80].any(), "gap must be bridged (half res)"
 
 
 def test_joint_peaks_unique_on_large_images():

@@ -31,13 +31,31 @@ from cylinder_pose_estimation_tpu.ops.morphology import (
 from cylinder_pose_estimation_tpu.ops.ridge import binarize_ridges, hessian_eigenimages
 
 
-def test_gaussian_kernel_cv_matches_formula():
-    k = np.asarray(gaussian_kernel1d_cv(5, 0.0))
-    sigma = 0.3 * ((5 - 1) * 0.5 - 1) + 0.8  # 1.1
-    x = np.arange(5) - 2
+def test_gaussian_kernel_cv_matches_opencv():
+    # sigma <= 0, ksize <= 7: cv2.getGaussianKernel returns its hardcoded
+    # small_gaussian_tab, NOT the 0.3*((k-1)/2-1)+0.8 formula.
+    np.testing.assert_allclose(
+        np.asarray(gaussian_kernel1d_cv(5, 0.0)),
+        [0.0625, 0.25, 0.375, 0.25, 0.0625], atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gaussian_kernel1d_cv(7, 0.0)),
+        [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+        atol=1e-7,
+    )
+    # larger ksize: the sigma formula applies.
+    k = np.asarray(gaussian_kernel1d_cv(9, 0.0))
+    sigma = 0.3 * ((9 - 1) * 0.5 - 1) + 0.8
+    x = np.arange(9) - 4
     ref = np.exp(-x**2 / (2 * sigma**2))
     ref /= ref.sum()
     np.testing.assert_allclose(k, ref, atol=1e-6)
+    # explicit sigma overrides the table even for small ksize.
+    k5 = np.asarray(gaussian_kernel1d_cv(5, 1.1))
+    x = np.arange(5) - 2
+    ref = np.exp(-x**2 / (2 * 1.1**2))
+    ref /= ref.sum()
+    np.testing.assert_allclose(k5, ref, atol=1e-6)
 
 
 def test_box_filter_constant_region():
