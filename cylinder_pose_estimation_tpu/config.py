@@ -107,16 +107,19 @@ class DetectConfig:
                                  # one-hot passes; gates keep px meaning via
                                  # a 2x moment rescale; A/B parity exact and
                                  # -0.09 ms/frame, job 027)
-    pallas_cc_pools: int = 1     # 3x3 min-pools per CC round (diagonal/local
+    pallas_cc_pools: int = 2     # 3x3 min-pools per CC round (diagonal/local
                                  # hops between the row/col segmented scans)
                                  # for the pre- and post-bridge labelings.
                                  # Line masks are scan-friendly (runs along
-                                 # rows/cols do the long-range work; the pool
-                                 # only has to carry labels across diagonal
-                                 # steps between scans): 1 pool/round was
-                                 # xy-identical to 2 and 4 over the 16-scene
-                                 # bench with exact A/B parity (r2 sweeps
-                                 # 011/012/017; 4 -> 1 is -0.07 ms/frame)
+                                 # rows/cols do the long-range work), but 1
+                                 # pool/round UNDER-CONVERGES on bridged
+                                 # (bent) masks -- identical masks produced
+                                 # different labels than the converged XLA
+                                 # scans on 12/32 bench images (job 024) --
+                                 # while 2 is label-exact with margin (jobs
+                                 # 011/025).  Convergence is gated by the
+                                 # 16-scene canon A/B parity check, which
+                                 # compares against fully-converged labels
     roi_blob_k: int = 32         # component slots for the largest-blob ROI
                                  # stats at quarter res (the (HW/16, K)
                                  # one-hot reductions scale linearly in K;
@@ -183,18 +186,18 @@ class DetectConfig:
                                  # round ~0.05 ms/frame at half-res on v5e.
                                  # Raise if scenes with more direction
                                  # changes ever miss parity.
-    pallas_cc_rounds_prebridge: int = 3  # the pre-bridge labeling sees only
+    pallas_cc_rounds_prebridge: int = 2  # the pre-bridge labeling sees only
                                  # un-bridged line fragments (smooth arcs, no
                                  # bends), but its labels feed the bridge's
                                  # long-skip gate, so UNDER-convergence
                                  # splits fragments and flips gates: 2
                                  # rounds at pools=1 measurably diverged
                                  # from the converged XLA labels once
-                                 # bridging went active (bridge-mask delta
-                                 # 698 px on a bench scene); 3 rounds is
-                                 # exact there and keeps margin.  A/B parity
-                                 # vs the fully-converged XLA labels is the
-                                 # check
+                                 # bridging went active (698-px bridge-mask
+                                 # delta on a bench scene) while 2 rounds at
+                                 # pools=2 is exact (jobs 024/025).  A/B
+                                 # parity vs the fully-converged XLA labels
+                                 # is the check
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
     bridge_half_res: bool = True  # run the ENTIRE bridge (stats + endpoint
                                  # probes + oriented dilation) at label
