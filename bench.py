@@ -70,7 +70,7 @@ def main() -> None:
     # (measured drifting 5-30 ms/call) amortizes to < 0.06 ms/frame at B=16,
     # approximating steady-state pipelined serving; every rep still sees a
     # fresh scalar perturbation so no execution cache can fire.
-    reps = 32
+    reps = 64
 
     def timed(body, n_calls=3):
         @jax.jit

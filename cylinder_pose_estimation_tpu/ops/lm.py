@@ -42,12 +42,17 @@ def levenberg_marquardt(
     lambda0: float = 1e-3,
     lambda_up: float = 2.0,
     lambda_down: float = 3.0,
+    jac_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> LMResult:
     """Minimize sum(w * r(p)^2) over p with a fixed number of LM steps.
 
     residual_fn maps (P,) -> (N,).  Rejected steps raise lambda and retry next
     iteration; accepted steps lower it.  All state lives in a fori_loop carry,
     so the whole solve is one jittable, vmappable expression.
+
+    ``jac_fn``: optional closed-form Jacobian (P,) -> (N, P).  Default is
+    jacfwd over residual_fn (P tangents ~ P+1 residual evaluations per
+    step); an analytic form cuts the per-step cost to ~2 evaluations.
     """
     params0 = jnp.asarray(params0)
     dtype = params0.dtype
@@ -66,7 +71,8 @@ def levenberg_marquardt(
         # deterministic, so re-evaluating it at an unchanged p is pure waste
         # (one of three residual evals per step, exact same iterates).
         p, r, cost, lam, n_acc = carry
-        j = jax.jacfwd(residual_fn)(p)  # (N, P)
+        j = (jac_fn(p) if jac_fn is not None
+             else jax.jacfwd(residual_fn)(p))  # (N, P)
         jw = j * w[:, None]
         jtj = mm(j.T, jw)
         jtr = mm(jw.T, r)

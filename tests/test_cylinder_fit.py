@@ -155,3 +155,25 @@ def test_fit_cylinder_vmap():
     rs = np.asarray(cylinder_residuals(single, s1.pts3, 45.0))
     v = np.asarray(s1.valid)
     np.testing.assert_allclose(rb[v], rs[v], atol=5e-3)
+
+
+def test_cylinder_residuals_jac_matches_jacfwd():
+    """The closed-form LM Jacobian must equal forward-mode autodiff."""
+    import jax
+
+    from cylinder_pose_estimation_tpu.geometry.cylinder import (
+        cylinder_residuals,
+        cylinder_residuals_jac,
+    )
+
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.normal(0, 50.0, (40, 3)).astype(np.float32))
+    params = jnp.asarray(
+        np.concatenate([rng.normal(0, 10.0, 3), rng.normal(0, 1.0, 3)])
+        .astype(np.float32)
+    )
+    j_auto = jax.jacfwd(lambda p: cylinder_residuals(p, pts, 45.0))(params)
+    j_form = cylinder_residuals_jac(params, pts, 45.0)
+    np.testing.assert_allclose(
+        np.asarray(j_form), np.asarray(j_auto), atol=2e-5
+    )
