@@ -171,7 +171,12 @@ def choose_idx(
         c1.reshape(-1, 2), c2.reshape(-1, 2), stereo, valid=both.reshape(-1)
     )
     err = tri.reproj_error.reshape(extent, extent)
-    err = jnp.where(both, err, 0.0)
+    # Degenerate cells (occupied in both views but singular/non-finite DLT:
+    # tri.valid False) must FAIL their patches, not contribute the zeroed
+    # error triangulate() reports for them -- the reference sees the real,
+    # large MATLAB reprojection error there and rejects the patch.
+    vall = tri.valid.reshape(extent, extent)
+    err = jnp.where(both & vall, err, jnp.where(both, 1e6, 0.0))
 
     # The reference slides patches over the *unique present* index values of
     # view 1 per axis (ref utils/chooseIdx.m:23-35, unique(gp1(:,3))/(:,4)),

@@ -99,7 +99,14 @@ def _cc(mask: jnp.ndarray, xla_iters: int, cfg: DetectConfig, frac: float = 1.0)
 
 
 class DetectDebug(NamedTuple):
-    """Intermediate masks for visualization/tests (all (H, W) bool)."""
+    """Intermediate masks for visualization/tests.
+
+    binary/roi_mask are full-res (H, W) bool.  h_mask/v_mask hold the
+    POST-saturation-carve line masks (the bridge inputs), not the raw
+    stage-2 openings.  Under the default bridge_half_res=True,
+    h_expanded/v_expanded live on the HALF-RES padded canvas
+    (ceil8(H/2+..), ceil128(W/2+..)) -- the resolution the labeling CC
+    consumes -- and only match (H, W) when bridge_half_res is off."""
 
     binary: jnp.ndarray
     h_mask: jnp.ndarray
@@ -125,7 +132,7 @@ def _to_gray(image: jnp.ndarray, dtype) -> jnp.ndarray:
 
 def _joint_centroids(
     joints: jnp.ndarray, cfg: DetectConfig, window: int = 11,
-    peak_iters: int = 8,
+    peak_iters: int | None = None,
     precomputed: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Joint-blob centroids via per-blob peak extraction, no labeling needed.
@@ -167,7 +174,8 @@ def _joint_centroids(
         cnt = box_filter(f, window, mode="constant", normalize=False)
         sx = box_filter(f * xx, window, mode="constant", normalize=False)
         sy = box_filter(f * yy, window, mode="constant", normalize=False)
-        peak = _joint_peaks(joints, cnt, peak_iters, window=window)
+        iters = cfg.joint_peak_iters if peak_iters is None else peak_iters
+        peak = _joint_peaks(joints, cnt, iters, window=window)
         c = jnp.maximum(cnt, 1.0)
         cx = jnp.floor(sx / c)
         cy = jnp.floor(sy / c)
@@ -396,7 +404,7 @@ def _cc_lowres_pair(
 
         return cc_pallas(
             stack,
-            rounds=getattr(cfg, "lowres_cc_rounds", 4),
+            rounds=cfg.lowres_cc_rounds,
             interpret=cfg.pallas_interpret,
         )
     return jax.vmap(
@@ -430,7 +438,7 @@ def _roi_plane_from_labels(
     largest blob resolved at 1/4 resolution from the shared lowres labeling."""
     h, w = th.shape
     largest4 = labeling.largest_component_mask(
-        labels, k=getattr(cfg, "roi_blob_k", 128)
+        labels, k=cfg.roi_blob_k
     )
     h4 = -(-h // 4)
     w4 = -(-w // 4)
@@ -523,7 +531,10 @@ def _saturation_carve(
         if sat_labels is None
         else sat_labels
     )
-    stats = labeling.component_stats_first_k(labels, k=16, compute_bbox=False)
+    # 32 scan-order slots: glare-heavy scenes can have > 16 small saturated
+    # reflections PRECEDING the main specular blob in raster order, and a
+    # dropped main blob miscenters the carve (same pitfall as roi_blob_k).
+    stats = labeling.component_stats_first_k(labels, k=32, compute_bbox=False)
     li = jnp.argmax(stats.count)  # largest saturated blob
     has = stats.valid[li]
     # Canvas block (i, j) covers full-res [4(i-_SHIFT4), ...) x 4 (content is
@@ -605,7 +616,7 @@ def _bridge_angle_exp_pair(
     """
     n, hgt, wdt = outs.shape
     base = jnp.asarray(bases, jnp.float32)
-    quarter = getattr(cfg, "bridge_stats_quarter", False) and hgt % 2 == 0 and wdt % 2 == 0
+    quarter = cfg.bridge_stats_quarter and hgt % 2 == 0 and wdt % 2 == 0
     if quarter:
         # Moment sums over 2x2-min-pooled labels: label VALUES stay half-res
         # linear indices, so component_stats_first_k gets value_shape to map
@@ -631,7 +642,7 @@ def _bridge_angle_exp_pair(
     stats = jax.vmap(
         lambda l: labeling.component_stats_first_k(
             l,
-            k=getattr(cfg, "bridge_stats_k", _MAX_COMPONENTS),
+            k=cfg.bridge_stats_k,
             min_area=min_area,
             compute_bbox=False,
             value_shape=value_shape,
@@ -664,8 +675,17 @@ def _bridge_angle_exp_pair(
     # ((HW, K) compare + any): a scatter-into-table + HW gather costs
     # ~3.5 ms/frame on v5e, the compare form ~0.25 ms.
     if cfg.bridge_skip_long:
-        max_diag = jnp.max(jnp.where(stats.valid, diag, 0.0), axis=1, keepdims=True)
-        expandable = stats.valid & (diag <= cfg.bridge_long_frac * max_diag)
+        # Exclude SPECKS (diag < bridge_min_len) from expansion and from the
+        # long-frac reference maximum: the reference's size gate (ref
+        # expand_line_roi utils/util_cylinder.py:168-170) keeps tiny
+        # contours out of the expansion list, and a speck's diag ~ 0
+        # trivially passes the long-frac test only to be dilated with the
+        # ~100 px oriented kernel -- fusing adjacent grid lines.  Segments
+        # LONGER than bridge_max_len stay in the maximum (that cap gates the
+        # median's angle fan, not the length reference).
+        sized = stats.valid & (diag >= cfg.bridge_min_len)
+        max_diag = jnp.max(jnp.where(sized, diag, 0.0), axis=1, keepdims=True)
+        expandable = sized & (diag <= cfg.bridge_long_frac * max_diag)
         hit = (
             labels.reshape(n, -1)[:, :, None] == stats.root[:, None, :]
         ) & expandable[:, None, :]
@@ -720,13 +740,10 @@ def _bridge_angle_exp_endpoint_pair(
     multi = in_mask & (pmax > pmin)
     # Decode endpoints: program 0 payload is column-major (p = x*H + y),
     # program 1 row-major (p = y*W + x).
-    lo_f = pmin.astype(jnp.float32)
-    hi_f = pmax.astype(jnp.float32)
     x0 = jnp.stack([jnp.floor_divide(pmin[0], hgt), jnp.mod(pmin[1], wdt)]).astype(jnp.float32)
     y0 = jnp.stack([jnp.mod(pmin[0], hgt), jnp.floor_divide(pmin[1], wdt)]).astype(jnp.float32)
     x1 = jnp.stack([jnp.floor_divide(pmax[0], hgt), jnp.mod(pmax[1], wdt)]).astype(jnp.float32)
     y1 = jnp.stack([jnp.mod(pmax[0], hgt), jnp.floor_divide(pmax[1], wdt)]).astype(jnp.float32)
-    del lo_f, hi_f
     dx = x1 - x0
     dy = y1 - y0
     ext = float(scale) * jnp.sqrt(dx * dx + dy * dy)
@@ -772,10 +789,13 @@ def _bridge_angle_exp_endpoint_pair(
     angle = med + base
 
     if cfg.bridge_skip_long:
+        sized = multi & (ext >= cfg.bridge_min_len)
         max_ext = jnp.max(
-            jnp.where(multi, ext, 0.0).reshape(n, -1), axis=1
+            jnp.where(sized, ext, 0.0).reshape(n, -1), axis=1
         )  # (2,)
-        exp_img = multi & (ext <= cfg.bridge_long_frac * max_ext[:, None, None])
+        # Same speck-excluding expansion gate as the moment path (see
+        # _bridge_angle_exp_pair; ref utils/util_cylinder.py:168-170).
+        exp_img = sized & (ext <= cfg.bridge_long_frac * max_ext[:, None, None])
     else:
         exp_img = outs > 0.5 if outs.dtype != jnp.bool_ else outs
     return angle, exp_img
@@ -851,9 +871,7 @@ def _bridge_pair(
     and return masks on the half-res padded canvas (their only consumer is
     the half-res labeling CC).  One algorithm, two backends: anything else
     makes the A/B parity gate compare two different bridges."""
-    half_shared = cfg.label_downsample == 2 and getattr(
-        cfg, "bridge_half_res", False
-    )
+    half_shared = cfg.label_downsample == 2 and cfg.bridge_half_res
     if not cfg.use_pallas:
         if half_shared:
             kl = kernel_len / 2.0
@@ -878,7 +896,7 @@ def _bridge_pair(
     ds = cfg.label_downsample
     masks = jnp.stack([mh, mv])
     rounds = max(1, int(cfg.pallas_cc_rounds_prebridge))
-    half = ds == 2 and getattr(cfg, "bridge_half_res", False)
+    half = ds == 2 and cfg.bridge_half_res
     probe_len = cfg.endpoint_probe_len
     if half:
         # Halve the endpoint probe with the kernel: the probe counts mask
@@ -896,7 +914,7 @@ def _bridge_pair(
         masks = jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
         kernel_len = kernel_len / 2.0
         max_kernel_len = max(max_kernel_len // 2, 1)
-    endpoint_stats = getattr(cfg, "bridge_endpoint_stats", False)
+    endpoint_stats = cfg.bridge_endpoint_stats
     if endpoint_stats:
         from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
             component_payload_minmax,
@@ -926,7 +944,7 @@ def _bridge_pair(
         else:
             labels = cc_pallas(
                 small, rounds=rounds,
-                pools_per_round=getattr(cfg, "pallas_cc_pools", 4),
+                pools_per_round=cfg.pallas_cc_pools,
                 interpret=cfg.pallas_interpret,
             )
             (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_pair(
@@ -1153,8 +1171,15 @@ def detect_grid(
             preprocess_binarize,
         )
 
-        assert cfg.height % 8 == 0 and cfg.width % 128 == 0, (
-            "pallas front-end needs TPU-tiled image shapes"
+        # Checked against the ACTUAL image (cfg.height/width are advisory
+        # for capacity sizing; every stage reads gray.shape).  Mosaic
+        # handles sub-128 lane alignment via relayouts (240x320 is tested),
+        # but sublane (8) alignment is required and full (8, 128) tiling is
+        # the fast path.
+        assert (
+            gray.shape[0] % 8 == 0 and gray.shape[1] % 8 == 0
+        ), (
+            f"pallas front-end needs 8-aligned image shapes, got {gray.shape}"
         )
         b_f, h_f, v_f, j_f, joint_cnt, joint_peak = preprocess_binarize(
             gray,
@@ -1248,7 +1273,7 @@ def detect_grid(
     if cfg.mode == "cylinder":
         roi = _roi_cylinder_from_labels(
             roi_seed4, roi_labels, h_img, w_img,
-            k=getattr(cfg, "roi_blob_k", 128),
+            k=cfg.roi_blob_k,
         )
     else:
         roi = _roi_plane_from_labels(roi_th, roi_labels, cfg)  # type: ignore[arg-type]
@@ -1285,7 +1310,7 @@ def detect_grid(
     # keys for the centroids, and 2x2 pooling preserves component identity
     # for line masks spaced > 2 px apart)
     ds = cfg.label_downsample
-    if ds == 2 and not getattr(cfg, "bridge_half_res", False):
+    if ds == 2 and not cfg.bridge_half_res:
         hv_masks = jnp.stack([_pool2_pad(h_exp), _pool2_pad(v_exp)])
     else:
         # bridge_half_res: _bridge_pair already returned masks on the
@@ -1299,7 +1324,7 @@ def detect_grid(
         hv_labels = cc_pallas(
             hv_masks,
             rounds=max(1, int(cfg.pallas_cc_rounds)),
-            pools_per_round=getattr(cfg, "pallas_cc_pools", 4),
+            pools_per_round=cfg.pallas_cc_pools,
             interpret=cfg.pallas_interpret,
         )
         h_labels, v_labels = hv_labels[0], hv_labels[1]
@@ -1339,7 +1364,7 @@ def detect_grid(
     # fragments of one physical column that failed to bridge show up as
     # several short labels; merge consecutive short labels and refit so the
     # integer column indices (and hence stereo correspondences) stay correct.
-    if getattr(cfg, "merge_short_cols", False):
+    if cfg.merge_short_cols:
         span = jnp.where(
             col_valid,
             (col_dom[:, 1] - col_dom[:, 0])
@@ -1405,6 +1430,11 @@ def detect_grid(
         & (xi <= row_dom[:, None, 1] + tol)
         & (yi >= col_dom[None, :, 0] - tol)
         & (yi <= col_dom[None, :, 1] + tol)
+        # INCLUSIVE upper bound on purpose: the reference's intersection
+        # gate is rect_x <= x <= rect_x + rect_w (ref
+        # find_and_assign_intersections_P utils/util_cylinder.py:1139) --
+        # note its centroid filter uses the EXCLUSIVE x < x + w (ref :1918);
+        # _center_seed mirrors that one.  The asymmetry is the reference's.
         & (xi >= bx0) & (xi <= bx1) & (yi >= by0) & (yi <= by1)
         & residual_ok
         & jnp.isfinite(xi) & jnp.isfinite(yi)

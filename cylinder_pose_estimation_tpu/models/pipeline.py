@@ -127,6 +127,8 @@ def estimate_poses_stream(
     import numpy as np
 
     n = images1.shape[0]
+    if n == 0:
+        raise ValueError("estimate_poses_stream needs at least one frame")
     step = jax.jit(
         lambda a, b: estimate_poses_batch(a, b, stereo, detect_cfg, fit_cfg)
     )
