@@ -1316,6 +1316,15 @@ def detect_grid(
         # bridge_half_res: _bridge_pair already returned masks on the
         # half-res padded canvas (BOTH paths); label them directly.
         hv_masks = jnp.stack([h_exp, v_exp])
+    assign_scale = ds
+    if cfg.label_quarter and ds == 2 and cfg.bridge_half_res:
+        # Final labeling at QUARTER resolution: one more 2x2 max-pool of the
+        # bridged masks.  Labels only group the joint centroids; pooling
+        # preserves component identity for line masks spaced > 2 px at the
+        # pooled resolution (grid pitch is >= ~12 full-res px), and the
+        # 16-scene A/B + CPU parity gates are the equivalence check.
+        hv_masks = jnp.stack([_pool2_pad(hv_masks[0]), _pool2_pad(hv_masks[1])])
+        assign_scale = 4
     if cfg.use_pallas:
         from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
             connected_components as cc_pallas,
@@ -1340,16 +1349,18 @@ def detect_grid(
         # pair is numerically identical (every op is elementwise over the
         # pair axis).
         rc_of, rc_ok, _ = jax.vmap(
-            lambda li: _assign_labels(li, cents, inside, cfg.max_rows, scale=ds)
+            lambda li: _assign_labels(
+                li, cents, inside, cfg.max_rows, scale=assign_scale
+            )
         )(jnp.stack([h_labels, v_labels]))
         row_of, row_ok = rc_of[0], rc_ok[0]
         col_of, col_ok = rc_of[1], rc_ok[1]
     else:
         row_of, row_ok, _ = _assign_labels(
-            h_labels, cents, inside, cfg.max_rows, scale=ds
+            h_labels, cents, inside, cfg.max_rows, scale=assign_scale
         )
         col_of, col_ok, _ = _assign_labels(
-            v_labels, cents, inside, cfg.max_cols, scale=ds
+            v_labels, cents, inside, cfg.max_cols, scale=assign_scale
         )
     if cfg.stage_probe == "assign":
         return _probe(cents, row_of, row_ok, col_of, col_ok)

@@ -92,6 +92,80 @@ def eigh2x2(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> Tuple[jnp.ndarray
     return evals, evecs
 
 
+def _chol_solve(l, b):
+    """Forward+back substitution with an unrolled factor (list-of-lists)."""
+    p = len(l)
+    y = [None] * p
+    for i in range(p):
+        s = b[..., i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    x = [None] * p
+    for i in reversed(range(p)):
+        s = y[i]
+        for k in range(i + 1, p):
+            s = s - l[k][i] * x[k]
+        x[i] = s / l[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def solve_spd(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve a @ x = b by an UNROLLED Cholesky (static small P).
+
+    a: (..., P, P) symmetric positive definite, b: (..., P).  Replaces
+    jnp.linalg.solve in the hot paths: XLA lowers batched LU on TPU to a
+    latency-heavy multi-kernel loop, while this unrolls to ~P^2 scalar
+    (batched) elementwise ops that fuse into ONE kernel -- measured the
+    dominant cost of each LM iteration (ops/lm.py) and of the per-label
+    Vandermonde solves (ops/polyfit.py).
+
+    Numerical guards (both matter in f32 -- an unguarded f32 Cholesky lost
+    ~3 digits vs LU on the worst-conditioned LM system of the bench set):
+    - Jacobi equilibration: scale to unit diagonal (S A S) (S x') = S b,
+      S = diag(a_jj^-1/2).  Gram matrices here mix columns with wildly
+      different scales (e.g. curvature vs translation in LM); equilibration
+      bounds the factor's internal dynamic range by the correlation
+      structure, not the raw scales.
+    - One step of iterative refinement against the ORIGINAL a (one extra
+      fused matvec + resolve): recovers the residual the f32 factorization
+      loses on ill-conditioned systems, matching batched-LU accuracy.
+    Singular/indefinite inputs are clamped (sqrt of max(., tiny)), matching
+    the ridge-regularized callers' expectations (finite garbage for
+    masked-out systems, gated upstream).
+    """
+    p = a.shape[-1]
+    tiny = jnp.asarray(1e-30, a.dtype)
+    s_inv = 1.0 / jnp.sqrt(jnp.maximum(
+        jnp.diagonal(a, axis1=-2, axis2=-1), tiny))  # (..., P)
+    a_eq = a * s_inv[..., :, None] * s_inv[..., None, :]
+    l = [[None] * p for _ in range(p)]
+    for j in range(p):
+        s = a_eq[..., j, j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        d = jnp.sqrt(jnp.maximum(s, tiny))
+        l[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, p):
+            s = a_eq[..., i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s * inv_d
+
+    def solve_eq(rhs):
+        # Solve a x = rhs through the equilibrated factor: x = S x', with
+        # (S A S) x' = S rhs.
+        return _chol_solve(l, rhs * s_inv) * s_inv
+
+    x = solve_eq(b)
+    # Refinement: r = b - a x in the original scaling, then one resolve.
+    # The matvec is elementwise-multiply + sum (NOT dot_general) so it is
+    # exact f32 on TPU -- a bf16 residual would defeat the refinement.
+    r = b - jnp.sum(a * x[..., None, :], axis=-1)
+    return x + solve_eq(r)
+
+
 def solve_normal_equations(
     a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray, ridge: float = 1e-9
 ) -> jnp.ndarray:
@@ -106,4 +180,4 @@ def solve_normal_equations(
     atb = mm(jnp.swapaxes(aw, -1, -2), (b * w)[..., None])
     p = a.shape[-1]
     ata = ata + ridge * jnp.eye(p, dtype=a.dtype)
-    return jnp.linalg.solve(ata, atb)[..., 0]
+    return solve_spd(ata, atb[..., 0])

@@ -24,7 +24,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from cylinder_pose_estimation_tpu.ops.linalg import mm
+from cylinder_pose_estimation_tpu.ops.linalg import mm, solve_spd
 
 
 class LMResult(NamedTuple):
@@ -78,7 +78,10 @@ def levenberg_marquardt(
         jtr = mm(jw.T, r)
         # Marquardt scaling: damp by lam * diag(JtJ) (+ floor for zero columns).
         damp = lam * (jnp.diagonal(jtj) + 1e-12)
-        delta = jnp.linalg.solve(jtj + damp * eye, -jtr)
+        # Unrolled Cholesky: jtj + damp*I is SPD by construction (PSD + the
+        # positive Marquardt diagonal), and batched LU (jnp.linalg.solve)
+        # is a latency-heavy multi-kernel loop on TPU (see linalg.solve_spd).
+        delta = solve_spd(jtj + damp * eye, -jtr)
         p_new = p + delta
         r_new = residual_fn(p_new)
         cost_new = cost_of(r_new)

@@ -22,7 +22,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from cylinder_pose_estimation_tpu.ops.linalg import mm
+from cylinder_pose_estimation_tpu.ops.linalg import mm, solve_spd
 
 
 def polyval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -65,7 +65,9 @@ def masked_polyfit(
     ata = mm(jnp.swapaxes(aw, -1, -2), aw)
     atb = mm(jnp.swapaxes(aw, -1, -2), (y * w)[..., None])
     ata = ata + 1e-8 * jnp.eye(degree + 1, dtype=dtype)
-    cs = jnp.linalg.solve(ata, atb)[..., 0]  # scaled-basis coeffs
+    # SPD by construction (Gram + ridge); the unrolled Cholesky fuses into
+    # one elementwise kernel where batched LU is a TPU latency sink.
+    cs = solve_spd(ata, atb[..., 0])  # scaled-basis coeffs
 
     # Expand p((x - mu) / sigma) back to raw-x coefficients via binomials.
     # p(xs) = sum_k cs[k] * xs^(D-k); xs = (x - mu)/sigma.

@@ -129,3 +129,27 @@ def test_pca_components_ordering():
     assert v[0] > v[1] > v[2]
     # Least-variance axis ~ z
     assert abs(np.asarray(comps)[2, 2]) > 0.99
+
+
+def test_solve_spd_matches_lu():
+    """Unrolled Cholesky solve tracks the f64 solution on batched SPD systems,
+    including badly row/col-scaled ones (the Jacobi-equilibration +
+    iterative-refinement guards; an unguarded f32 Cholesky lost ~3 digits on
+    the worst-conditioned bench LM system)."""
+    from cylinder_pose_estimation_tpu.ops.linalg import solve_spd
+
+    rng = np.random.default_rng(7)
+    for p in (2, 3, 6):
+        m = rng.normal(size=(32, p, p))
+        a = (m @ np.swapaxes(m, -1, -2) + 0.05 * np.eye(p))
+        # Mixed-scale columns, like curvature-vs-translation in the LM JtJ.
+        s = 10.0 ** np.arange(p)
+        a = (a * s[None, :, None] * s[None, None, :]).astype(np.float32)
+        b = rng.normal(size=(32, p)).astype(np.float32)
+        got = np.asarray(solve_spd(jnp.asarray(a), jnp.asarray(b)))
+        want = np.linalg.solve(a.astype(np.float64), b.astype(np.float64)[..., None])[..., 0]
+        # Per-solution-norm error (per-component rel error explodes on
+        # near-zero components of unlucky ill-conditioned draws).
+        rel = np.linalg.norm(got - want, axis=-1) / (
+            np.linalg.norm(want, axis=-1) + 1e-12)
+        assert rel.max() < 1e-3, (p, rel.max())
