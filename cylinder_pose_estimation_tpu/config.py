@@ -199,17 +199,6 @@ class DetectConfig:
                                  # parity vs the fully-converged XLA labels
                                  # is the check
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
-    label_quarter: bool = False  # pool the bridged half-res masks 2x2 once
-                                 # more and run the FINAL row/col labeling CC
-                                 # at quarter resolution (labels are grouping
-                                 # keys only; component identity survives
-                                 # while line spacing > 2 quarter-px = 8 px,
-                                 # and the bridged masks carry a >= 24 px
-                                 # border margin so the CC kernels' anti-wrap
-                                 # ring never clips content).  Applies to
-                                 # BOTH backends (shared algorithm, two
-                                 # implementations) when bridge_half_res and
-                                 # label_downsample == 2.
     bridge_half_res: bool = True  # run the ENTIRE bridge (stats + endpoint
                                  # probes + oriented dilation) at label
                                  # (half) resolution with kernel reach and

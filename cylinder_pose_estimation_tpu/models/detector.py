@@ -1316,15 +1316,11 @@ def detect_grid(
         # bridge_half_res: _bridge_pair already returned masks on the
         # half-res padded canvas (BOTH paths); label them directly.
         hv_masks = jnp.stack([h_exp, v_exp])
+    # NOTE: labeling at QUARTER resolution (one more 2x2 pool) was measured
+    # on TPU and rejected: it loses grid points (24/32 on 5 of 16 bench
+    # scenes -- thin lines vanish under the second pool) for only ~0.04
+    # ms/view.  Half-res is the floor for the final labeling CC.
     assign_scale = ds
-    if cfg.label_quarter and ds == 2 and cfg.bridge_half_res:
-        # Final labeling at QUARTER resolution: one more 2x2 max-pool of the
-        # bridged masks.  Labels only group the joint centroids; pooling
-        # preserves component identity for line masks spaced > 2 px at the
-        # pooled resolution (grid pitch is >= ~12 full-res px), and the
-        # 16-scene A/B + CPU parity gates are the equivalence check.
-        hv_masks = jnp.stack([_pool2_pad(hv_masks[0]), _pool2_pad(hv_masks[1])])
-        assign_scale = 4
     if cfg.use_pallas:
         from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
             connected_components as cc_pallas,
