@@ -94,14 +94,16 @@ class DetectConfig:
                                  # at the bridge's half resolution fragments
                                  # only merge, so 32 keeps margin; A/B parity
                                  # exact, jobs 022/026)
-    lowres_cc_rounds: int = 1    # pool+scan rounds for the shared quarter-res
-                                 # ROI/saturation-blob labeling (blobs are
-                                 # compact dilated unions; one pool+scan
-                                 # round converges -- detected xy identical
-                                 # to rounds=2/3 over the 16-scene bench
-                                 # (r2 sweeps 009/015) with exact A/B
-                                 # parity; smaller scenes need fewer rounds,
-                                 # not more)
+    lowres_cc_rounds: int = 2    # pool+scan rounds for the shared quarter-res
+                                 # ROI/saturation-blob labeling.  rounds=1
+                                 # converges on the 16 mild bench scenes but
+                                 # UNDER-converges on tilted sparse grids
+                                 # (comb-shaped lowres blobs): a 64-scene
+                                 # randomized sweep showed 21 scenes with
+                                 # fragmented ROI labels at rounds=1, fixed
+                                 # and stable at rounds>=2 (rounds 2/3/4
+                                 # bit-identical, matching the XLA path's
+                                 # converged labels).  Costs ~0.01 ms/view.
     bridge_stats_quarter: bool = True  # compute the bridge's moment stats
                                  # over 2x2-min-pooled labels (4x smaller
                                  # one-hot passes; gates keep px meaning via

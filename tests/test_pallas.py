@@ -109,6 +109,58 @@ def test_connected_components_matches_xla():
     assert _canon(lab_p, m) == _canon(lab_x, m)
 
 
+def test_lowres_roi_blob_converges_at_default_rounds():
+    """The quarter-res ROI blob of a TILTED sparse grid converges at the
+    shipped lowres_cc_rounds default, measured on the artifact the detector
+    actually consumes (largest component + orthoconvex fill).
+
+    Round-2 regression: lowres_cc_rounds=1 was tuned on the 16 mild bench
+    scenes and silently under-converged on tilted/sparse scenes (a 64-scene
+    randomized TPU sweep showed 21 scenes with fragmented ROI labels ->
+    shrunken ROI -> dropped centroids -> ok=False).  Each pool+scan round
+    crosses one straight segment, so the comb-shaped blob a tilted grid
+    leaves after the 9x9 seed dilation needs 2 rounds."""
+    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig
+
+    m = np.zeros((64, 128), bool)
+    tilt = 0.2
+    for k in range(6):  # tilted "horizontal" grid lines at quarter-res pitch
+        for x in range(10, 110):
+            y = int(14 + k * 7 + tilt * (x - 60))
+            if 1 <= y < 63:
+                m[y, x] = True
+    for k in range(8):  # tilted "vertical" lines, sparse (comb teeth)
+        for y in range(10, 55):
+            x = int(16 + k * 12 - tilt * (y - 32))
+            if 1 <= x < 127:
+                m[y, x] = True
+    seed = np.asarray(morphology.dilate_rect(jnp.asarray(m), 9, 9))
+    ring = np.zeros_like(seed)
+    ring[1:-1, 1:-1] = True  # detector zeroes the 1-px ring on both paths
+    seed = seed & ring
+
+    def roi_blob(lab):
+        return np.asarray(
+            labeling.fill_orthoconvex(
+                labeling.largest_component_mask(lab, k=128) & jnp.asarray(seed)
+            )
+        )
+
+    ref = roi_blob(labeling.connected_components(jnp.asarray(seed), iters=16))
+    rounds = CylinderDetectConfig().lowres_cc_rounds
+    got = roi_blob(
+        connected_components(jnp.asarray(seed), rounds=rounds, interpret=True)
+    )
+    assert (got == ref).all()
+    # The comb genuinely needs >1 round: rounds=1 must NOT converge (if a
+    # future pools_per_round bump makes it converge, sparsen the comb
+    # rather than deleting this guard -- it documents why the default is 2).
+    frag = roi_blob(
+        connected_components(jnp.asarray(seed), rounds=1, interpret=True)
+    )
+    assert frag.sum() < 0.5 * ref.sum()
+
+
 def test_connected_components_empty_mask():
     mask = jnp.zeros((96, 128), bool)
     lab = np.asarray(connected_components(mask, rounds=6, interpret=True))
