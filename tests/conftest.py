@@ -19,7 +19,7 @@ jax.config.update("jax_platforms", "cpu")
 # The suite is compile-bound (detect_grid jit ~60 s on CPU, execution ~2 s):
 # persist compiled executables so repeat runs and repeat configs are fast.
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pytest  # noqa: E402
 
