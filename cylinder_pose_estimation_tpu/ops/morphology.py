@@ -124,10 +124,37 @@ def directional_count(
     ca = jnp.cos(angle)
     sa = jnp.sin(angle)
     f = mask.astype(jnp.float32)
-    cnt = jnp.zeros_like(f)
-    for i in range(1, probe_len + 1):
-        dy = jnp.round(sa * i * sign).astype(jnp.int32)
-        dx = jnp.round(ca * i * sign).astype(jnp.int32)
-        # shifting content by (-dy, -dx) brings the pixel at +i*dir onto us
-        cnt = cnt + shift2d(f, -dy, -dx)
+
+    # Hillis-Steele doubling over the ray: C_2m = C_m + shift(C_m, -d(m))
+    # covers 2m steps in log passes instead of 2m.  The far-half offsets
+    # become d(m)+d(k) instead of d(m+k) (rounding is not additive), a <=1 px
+    # lateral re-rasterization; grid-line angles sit near 0 / pi/2 where the
+    # two agree, and the Pallas bridge kernel mirrors this EXACT scheme
+    # (offset-for-offset) so A/B path parity holds by construction.
+    def d(m):
+        dy = jnp.round(sa * m * sign).astype(jnp.int32)
+        dx = jnp.round(ca * m * sign).astype(jnp.int32)
+        return dy, dx
+
+    # shifting content by (-dy, -dx) brings the pixel at +i*dir onto us
+    dy1, dx1 = d(1)
+    pows = {1: shift2d(f, -dy1, -dx1)}
+    m = 1
+    while m * 2 <= probe_len:
+        dy, dx = d(m)
+        pows[2 * m] = pows[m] + shift2d(pows[m], -dy, -dx)
+        m *= 2
+    cnt = None
+    off = 0
+    size = probe_len
+    while size:
+        p = 1 << (size.bit_length() - 1)
+        if off == 0:
+            part = pows[p]
+        else:
+            dy, dx = d(off)
+            part = shift2d(pows[p], -dy, -dx)
+        cnt = part if cnt is None else cnt + part
+        off += p
+        size -= p
     return cnt

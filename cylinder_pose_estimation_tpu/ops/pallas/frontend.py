@@ -57,22 +57,54 @@ def _roll(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
 
 
 def _sep_conv_roll(x: jnp.ndarray, k: tuple, axis: int) -> jnp.ndarray:
-    """1-D correlation along ``axis`` via static rolls (wrap borders)."""
+    """1-D correlation along ``axis`` via static rolls (wrap borders).
+
+    Symmetric taps (every Gaussian) pair the +-i shifts as k_i*(a+b): one
+    multiply per tap pair instead of two, ~25% fewer VPU ops on the 25-tap
+    sigma=3 kernel."""
     r = len(k) // 2
     out = k[r] * x
+    symmetric = all(
+        math.isclose(k[r - i], k[r + i], rel_tol=0.0, abs_tol=0.0)
+        for i in range(1, r + 1)
+    )
     for i in range(1, r + 1):
-        out = out + k[r - i] * _roll(x, i, axis) + k[r + i] * _roll(x, -i, axis)
+        a = _roll(x, i, axis)
+        b = _roll(x, -i, axis)
+        if symmetric:
+            out = out + k[r - i] * (a + b)
+        else:
+            out = out + k[r - i] * a + k[r + i] * b
     return out
 
 
 def _box_sum_roll(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
-    """Odd-size centered box sum along axis (direct shifts, all in VMEM)."""
+    """Odd-size centered box sum along axis, by Hillis-Steele doubling.
+
+    Builds forward window sums S_m[p] = sum_{i<m} x[p+i] by doubling
+    (S_2m = S_m + roll(S_m, -m)), combines the binary decomposition of
+    ``size``, then recenters: O(log size) roll+adds instead of size-1.
+    Summation ORDER differs from a direct loop (f32 reassociation); every
+    consumer is either exact integer counting (joint box count) or a
+    threshold far from ties (Sauvola mean/var), and the A/B parity gate
+    compares final grid points, which were verified exact on TPU."""
     assert size % 2 == 1
-    r = size // 2
-    out = x
-    for i in range(1, r + 1):
-        out = out + _roll(x, i, axis) + _roll(x, -i, axis)
-    return out
+    # S[m] caches the forward window sums for power-of-two m.
+    pows = {1: x}
+    m = 1
+    while m * 2 <= size:
+        pows[m * 2] = pows[m] + _roll(pows[m], -m, axis)
+        m *= 2
+    out = None
+    off = 0
+    while size:
+        p = 1 << (size.bit_length() - 1)
+        part = pows[p] if off == 0 else _roll(pows[p], -off, axis)
+        out = part if out is None else out + part
+        off += p
+        size -= p
+    # Window [p, p+n) recentered so the sum is over [p-r, p+r].
+    return _roll(out, off // 2, axis)
 
 
 def _binary_erode_line(x: jnp.ndarray, length: int, axis: int) -> jnp.ndarray:
@@ -353,13 +385,38 @@ def _bridge_kernel(
     # Endpoint detection: pixels whose forward or backward ray is empty
     # (<= 1 hit = just themselves at i=0 excluded; matches
     # morphology.directional_count + the <=1 gate in detector._bridge).
-    fwd = jnp.zeros_like(m)
-    bwd = jnp.zeros_like(m)
-    for k in range(1, probe_len + 1):
-        dy = jnp.round(sa * k).astype(jnp.int32)
-        dx = jnp.round(ca * k).astype(jnp.int32)
-        fwd = fwd + _dshift(m, -dy, -dx)
-        bwd = bwd + _dshift(m, dy, dx)
+    # Hillis-Steele doubling over the ray, offset-for-offset identical to
+    # morphology.directional_count (see the re-rasterization note there).
+    def _ray_count(sgn):
+        def d(k):
+            dy = jnp.round(sa * k * sgn).astype(jnp.int32)
+            dx = jnp.round(ca * k * sgn).astype(jnp.int32)
+            return dy, dx
+
+        dy1, dx1 = d(1)
+        pows = {1: _dshift(m, -dy1, -dx1)}
+        mm = 1
+        while mm * 2 <= probe_len:
+            dy, dx = d(mm)
+            pows[2 * mm] = pows[mm] + _dshift(pows[mm], -dy, -dx)
+            mm *= 2
+        cnt = None
+        off = 0
+        size = probe_len
+        while size:
+            p = 1 << (size.bit_length() - 1)
+            if off == 0:
+                part = pows[p]
+            else:
+                dy, dx = d(off)
+                part = _dshift(pows[p], -dy, -dx)
+            cnt = part if cnt is None else cnt + part
+            off += p
+            size -= p
+        return cnt
+
+    fwd = _ray_count(1.0)
+    bwd = _ray_count(-1.0)
     is_end = jnp.where((fwd <= 1.0) | (bwd <= 1.0), 1.0, 0.0)
     out = m * expf * is_end
 

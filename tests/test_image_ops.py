@@ -148,6 +148,26 @@ def test_directional_count_endpoints():
     assert bwd[4, 10] == 5
 
 
+def test_directional_count_angled_line_endpoints():
+    """The log-doubling ray (re-rasterized vs a per-step loop) must still
+    see a diagonal line's interior as occupied and its ends as empty."""
+    import math
+
+    n = 48
+    m = np.zeros((n, n), bool)
+    for t in range(8, 40):  # 45-degree 2-px-thick line
+        m[t, t] = True
+        m[min(t + 1, n - 1), t] = True
+    ang = jnp.asarray(math.pi / 4)
+    fwd = np.asarray(directional_count(jnp.asarray(m), ang, 6, +1))
+    bwd = np.asarray(directional_count(jnp.asarray(m), ang, 6, -1))
+    # interior pixels see a full ray both ways
+    assert fwd[20, 20] >= 5 and bwd[20, 20] >= 5
+    # the two ends see (near-)empty rays outward
+    assert fwd[39, 39] <= 1
+    assert bwd[8, 8] <= 1
+
+
 def test_connected_components_and_stats():
     m = np.zeros((32, 32), bool)
     m[2:6, 2:6] = True       # 16 px blob
