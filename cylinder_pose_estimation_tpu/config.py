@@ -213,6 +213,16 @@ class DetectConfig:
                                  # bridging is active (a full-res XLA bridge
                                  # vs a half-res Pallas bridge legitimately
                                  # differ by ~0.14 px on bridged scenes).
+    smooth_mxu: bool = True      # Pallas path only: compute the composed
+                                 # Gaussian(blur_ksize) o Gaussian(ridge_
+                                 # sigma) smoothing OUTSIDE the preprocess
+                                 # kernel as banded MXU matmuls (ops/
+                                 # mxu_conv, exact mode) and feed the kernel
+                                 # the smoothed image -- the kernel's
+                                 # largest VPU roll chain rides the matrix
+                                 # unit instead.  Border band (zero pad vs
+                                 # the kernel's circular wrap) is inside the
+                                 # detector margin either way.
     stage_probe: str = ""        # profiling only: truncate detect_grid after
                                  # the named stage (preprocess/centroids/roi/
                                  # seed/carve/bridge/labels/assign/polyfit/

@@ -1181,8 +1181,33 @@ def detect_grid(
         ), (
             f"pallas front-end needs 8-aligned image shapes, got {gray.shape}"
         )
+        if getattr(cfg, "smooth_mxu", False):
+            # Composed Gaussian(blur) o Gaussian(ridge_sigma) as banded MXU
+            # matmuls (exact mode): moves the kernel's largest VPU roll
+            # chain (~100 shift+FMA passes/view) onto the matrix unit.
+            # Border semantics change from circular wrap to zero padding --
+            # both are masked out by the detector margin (>= smoothing
+            # radius 14) before any consumer reads them.
+            from cylinder_pose_estimation_tpu.ops import mxu_conv as mxc
+
+            ct = mxc.compose_taps(
+                mxc.gauss_taps_cv(cfg.blur_ksize),
+                mxc.gauss_taps_scipy(cfg.ridge_sigma),
+            )
+            # Column conv as a row conv of the transpose: conv_y's
+            # amat @ img form puts a vmapped batch axis at dim 1, which the
+            # downstream pallas_call's block specs reject; img @ bmat keeps
+            # it leading.  Taps are symmetric, so orientation is moot.
+            kin = mxc.conv_x(gray, mxc.x_mat(ct, gray.shape[1], exact=True),
+                             exact=True)
+            kin = mxc.conv_x(
+                kin.T, mxc.x_mat(ct, gray.shape[0], exact=True), exact=True
+            ).T
+        else:
+            kin = gray
         b_f, h_f, v_f, j_f, joint_cnt, joint_peak = preprocess_binarize(
-            gray,
+            kin,
+            pre_smoothed=getattr(cfg, "smooth_mxu", False),
             blur_ksize=cfg.blur_ksize,
             ridge_sigma=cfg.ridge_sigma,
             sauvola_window=cfg.sauvola_window,

@@ -147,6 +147,7 @@ def _preprocess_kernel(
     *,
     k5: tuple,
     k25: tuple,
+    pre_smoothed: bool,
     sauvola_window: int,
     sauvola_k: float,
     sauvola_r: float,
@@ -179,13 +180,19 @@ def _preprocess_kernel(
     # box-count + per-blob peak propagation, which feeds on the joint mask
     # produced two statements earlier and cannot leave VMEM for free).
 
-    # Gaussian 5x5 (cv2 sigma rule), separable.
-    g = _sep_conv_roll(g0, k5, 1)
-    g = _sep_conv_roll(g, k5, 0)
+    if pre_smoothed:
+        # The caller already composed Gaussian(5x5 cv) o Gaussian(sigma=3)
+        # as batched banded MXU matmuls (ops/mxu_conv, exact mode) -- the
+        # VPU's biggest per-view roll chain moves to the matrix unit.
+        s = g0
+    else:
+        # Gaussian 5x5 (cv2 sigma rule), separable.
+        g = _sep_conv_roll(g0, k5, 1)
+        g = _sep_conv_roll(g, k5, 0)
 
-    # scipy Gaussian sigma=3 (radius 12 -> 25 taps).
-    s = _sep_conv_roll(g, k25, 1)
-    s = _sep_conv_roll(s, k25, 0)
+        # scipy Gaussian sigma=3 (radius 12 -> 25 taps).
+        s = _sep_conv_roll(g, k25, 1)
+        s = _sep_conv_roll(s, k25, 0)
 
     # np.gradient-style central differences (borders handled by margin mask).
     def ddy(x):
@@ -272,6 +279,7 @@ def _preprocess_kernel(
         "margin",
         "joint_window",
         "joint_peak_iters",
+        "pre_smoothed",
         "interpret",
     ),
 )
@@ -287,11 +295,16 @@ def preprocess_binarize(
     margin: int = 20,
     joint_window: int = 11,
     joint_peak_iters: int = 8,
+    pre_smoothed: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Fused preprocess + binarize + openings + joints + joint peaks.
 
-    gray: (H, W) float32, H % 8 == 0, W % 128 == 0.
+    gray: (H, W) float32, H % 8 == 0, W % 128 == 0.  With
+    ``pre_smoothed=True`` the input is ALREADY the composed
+    Gaussian(blur_ksize) o Gaussian(ridge_sigma) smoothing of the gray
+    image (computed outside as banded MXU matmuls, ops/mxu_conv) and the
+    kernel skips its in-VMEM roll-chain convolutions.
     Returns (binary, h_mask, v_mask, joints, joint_cnt, joint_peak): 0/1
     float masks, the joint-blob 11x11 box-count image, and the per-blob
     peak mask consumed by models/detector._joint_centroids.  The
@@ -304,6 +317,7 @@ def preprocess_binarize(
         _preprocess_kernel,
         k5=_gauss_taps_cv(blur_ksize),
         k25=_gauss_taps_scipy(ridge_sigma),
+        pre_smoothed=pre_smoothed,
         sauvola_window=sauvola_window,
         sauvola_k=sauvola_k,
         sauvola_r=sauvola_r,
