@@ -213,6 +213,17 @@ class DetectConfig:
                                  # bridging is active (a full-res XLA bridge
                                  # vs a half-res Pallas bridge legitimately
                                  # differ by ~0.14 px on bridged scenes).
+    pallas_cc_cross_cap: int = 0  # final-labels CC: cap the segmented scan
+                                 # PERPENDICULAR to each line mask's
+                                 # orientation at this many (half-res) px
+                                 # per round (0 = off, one batched launch
+                                 # for the h/v pair).  Default OFF: measured
+                                 # on TPU (job 011), cap 16 at the shipped
+                                 # pallas_cc_rounds=3 changes a tilted
+                                 # scene's point set (steep diagonal lines
+                                 # are where convergence is marginal) for
+                                 # only ~2% e2e -- enable only with rounds
+                                 # raised enough to re-converge.
     smooth_mxu: bool = True      # Pallas path only: compute the composed
                                  # Gaussian(blur_ksize) o Gaussian(ridge_
                                  # sigma) smoothing OUTSIDE the preprocess

@@ -1351,13 +1351,36 @@ def detect_grid(
             connected_components as cc_pallas,
         )
 
-        hv_labels = cc_pallas(
-            hv_masks,
-            rounds=max(1, int(cfg.pallas_cc_rounds)),
-            pools_per_round=cfg.pallas_cc_pools,
-            interpret=cfg.pallas_interpret,
-        )
-        h_labels, v_labels = hv_labels[0], hv_labels[1]
+        cap = int(getattr(cfg, "pallas_cc_cross_cap", 0))
+        if cap > 0:
+            # Orientation-aware scan caps: the h-mask's contiguous runs
+            # along y (and the v-mask's along x) are line-thickness px, so
+            # the perpendicular segmented scan stops at ``cap`` instead of
+            # log2(axis) doubling.  Two slim launches (the caps differ per
+            # mask, so the pair can't share one grid); the extra launch is
+            # ~0.3 us/view amortized over the vmapped frame batch.
+            h_labels = cc_pallas(
+                hv_masks[0],
+                rounds=max(1, int(cfg.pallas_cc_rounds)),
+                pools_per_round=cfg.pallas_cc_pools,
+                cap_axis=0, cap=cap,
+                interpret=cfg.pallas_interpret,
+            )
+            v_labels = cc_pallas(
+                hv_masks[1],
+                rounds=max(1, int(cfg.pallas_cc_rounds)),
+                pools_per_round=cfg.pallas_cc_pools,
+                cap_axis=1, cap=cap,
+                interpret=cfg.pallas_interpret,
+            )
+        else:
+            hv_labels = cc_pallas(
+                hv_masks,
+                rounds=max(1, int(cfg.pallas_cc_rounds)),
+                pools_per_round=cfg.pallas_cc_pools,
+                interpret=cfg.pallas_interpret,
+            )
+            h_labels, v_labels = hv_labels[0], hv_labels[1]
     else:
         h_labels = _cc(hv_masks[0], cfg.cc_iters, cfg)
         v_labels = _cc(hv_masks[1], cfg.cc_iters, cfg)

@@ -521,7 +521,7 @@ def bridge_morphology(
     return out
 
 
-def _seg_min_scan_roll(lab, maskf, axis, n):
+def _seg_min_scan_roll(lab, maskf, axis, n, cap: int = 0):
     """Segmented min-scan along ``axis`` via Hillis-Steele doubling.
 
     lab: int32 labels (BIG outside mask); maskf: float 0/1.  After the
@@ -529,7 +529,14 @@ def _seg_min_scan_roll(lab, maskf, axis, n):
     in-mask run along the axis.  clear_k[p] tracks "window (p-2^k, p] fully
     in-mask"; out-of-run sources hold BIG so propagation stays run-local.
     Wrap-around is blocked by the mask's border margin.
+
+    ``cap`` > 0 bounds the propagation distance (runs longer than cap still
+    converge across rounds): line masks have cross-axis contiguous runs of
+    only line-thickness px, so the perpendicular scan does not need the
+    full log2(axis) doubling depth.
     """
+    if cap > 0:
+        n = min(n, cap)
     out = lab
     for direction in (1, -1):
         v = lab
@@ -545,7 +552,8 @@ def _seg_min_scan_roll(lab, maskf, axis, n):
     return out
 
 
-def _cc_kernel(mask_ref, labels_ref, *, rounds: int, pools_per_round: int):
+def _cc_kernel(mask_ref, labels_ref, *, rounds: int, pools_per_round: int,
+               cap_axis: int = -1, cap: int = 0):
     h, w = mask_ref.shape[-2:]
     maskf = mask_ref[0] if mask_ref.ndim == 3 else mask_ref[:]
     # Zero a 1-px border ring: rolls wrap circularly, and bridged masks
@@ -581,9 +589,20 @@ def _cc_kernel(mask_ref, labels_ref, *, rounds: int, pools_per_round: int):
             lab = pool(lab)
         # Full-run propagation along rows then columns: one round crosses an
         # entire straight segment, so convergence needs O(#bends) rounds
-        # instead of O(diameter) pools.
-        lab = jnp.where(mask, _seg_min_scan_roll(lab, maskf, 1, w), big)
-        lab = jnp.where(mask, _seg_min_scan_roll(lab, maskf, 0, h), big)
+        # instead of O(diameter) pools.  A caller who knows the mask's
+        # dominant orientation caps the PERPENDICULAR scan (cap_axis):
+        # cross-axis contiguous runs of a line mask are line-thickness px,
+        # so full doubling depth there is wasted passes.
+        lab = jnp.where(
+            mask,
+            _seg_min_scan_roll(lab, maskf, 1, w, cap if cap_axis == 1 else 0),
+            big,
+        )
+        lab = jnp.where(
+            mask,
+            _seg_min_scan_roll(lab, maskf, 0, h, cap if cap_axis == 0 else 0),
+            big,
+        )
         return lab
 
     lab = jax.lax.fori_loop(0, rounds, body, lab0)
@@ -718,13 +737,18 @@ def component_payload_minmax(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "rounds", "pools_per_round", "interpret")
+    jax.jit,
+    static_argnames=(
+        "iters", "rounds", "pools_per_round", "cap_axis", "cap", "interpret",
+    ),
 )
 def connected_components(
     mask: jnp.ndarray,
     iters: int | None = None,
     rounds: int = 10,
     pools_per_round: int = 4,
+    cap_axis: int = -1,
+    cap: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """VMEM-resident 8-connected labeling: pools + segmented doubling scans.
@@ -738,6 +762,12 @@ def connected_components(
     least 6.  A 1-px background ring is forced inside the kernel so circular
     rolls can never merge labels across opposite image edges.
 
+    ``cap_axis``/``cap``: bound the scan distance along ``cap_axis`` to
+    ``cap`` px per round -- for masks with a known dominant orientation
+    (line masks), where cross-axis contiguous runs are line-thickness px.
+    Components with thicker cross-axis runs still converge, just needing
+    more rounds (each round advances cap + pools_per_round px cross-axis).
+
     mask may be (H, W) or (B, H, W); the batched form labels each image in
     its own grid program (labels are per-image linear indices), one kernel
     launch for e.g. the h/v line-mask pair.
@@ -750,7 +780,8 @@ def connected_components(
     b, h, w = mask.shape
     out = pl.pallas_call(
         functools.partial(
-            _cc_kernel, rounds=rounds, pools_per_round=pools_per_round
+            _cc_kernel, rounds=rounds, pools_per_round=pools_per_round,
+            cap_axis=cap_axis, cap=cap,
         ),
         grid=(b,),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),

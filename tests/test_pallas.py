@@ -109,6 +109,31 @@ def test_connected_components_matches_xla():
     assert _canon(lab_p, m) == _canon(lab_x, m)
 
 
+def test_connected_components_cross_cap_converges():
+    """Orientation-aware scan caps (cap_axis/cap) slow convergence but must
+    reach the same fixed point: wavy lines and a blob THICKER than the cap
+    label identically to the XLA ground truth given enough rounds.  (The
+    config default keeps the cap OFF: at the shipped rounds=3 a TPU-measured
+    tilted scene re-labels -- see config.pallas_cc_cross_cap.)"""
+    m = np.zeros((96, 256), bool)
+    xs = np.arange(10, 246)
+    for yc in (24, 44):
+        ys = (yc + 6 * np.sin(xs / 45.0)).astype(int)
+        for x, y in zip(xs, ys):
+            m[y, x] = True
+            m[y + 1, x] = True
+    m[60:84, 200:230] = True  # 24-px-thick isolated blob > cap 16
+    mask = jnp.asarray(m)
+    gt = np.asarray(labeling.connected_components(mask, iters=32))
+    lab = np.asarray(
+        connected_components(
+            mask, rounds=24, pools_per_round=2, cap_axis=0, cap=16,
+            interpret=True,
+        )
+    )
+    assert _canon(lab, m) == _canon(gt, m)
+
+
 def test_lowres_roi_blob_converges_at_default_rounds():
     """The quarter-res ROI blob of a TILTED sparse grid converges at the
     shipped lowres_cc_rounds default, measured on the artifact the detector
