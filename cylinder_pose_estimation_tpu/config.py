@@ -213,6 +213,15 @@ class DetectConfig:
                                  # bridging is active (a full-res XLA bridge
                                  # vs a half-res Pallas bridge legitimately
                                  # differ by ~0.14 px on bridged scenes).
+    bright_at_points: bool = True  # evaluate the center-seed and grid-origin
+                                 # brightness statistics AT their few hundred
+                                 # query points (ops/mxu_conv.conv_at_points:
+                                 # per-point banded HIGHEST dots) instead of
+                                 # filtering full images and dynamic-gathering
+                                 # from them -- TPU gathers cost ~0.03 ms/view
+                                 # (hidden from xy-only stage probes by DCE).
+                                 # Same exact-mode arithmetic up to f32
+                                 # summation order; shared by both backends.
     pallas_cc_cross_cap: int = 0  # final-labels CC: cap the segmented scan
                                  # PERPENDICULAR to each line mask's
                                  # orientation at this many (half-res) px

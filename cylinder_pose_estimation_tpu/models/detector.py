@@ -293,23 +293,34 @@ def _stats_images(
     # (~2805 for an 11-box over gray 255) are not bf16-recast by the second
     # pass (rounding there measured large enough to swap near-tied argmax
     # candidates vs the cumsum box-filter fallback).
-    pc = 2 * cfg.center_patch_half + 1
-    bt = mxc.box_taps(pc)
-    bc = mxc.conv_y(
-        mxc.conv_x(gray, mxc.x_mat(bt, w, exact=True), exact=True),
-        mxc.y_mat(bt, h, exact=True), exact=True,
-    )
-    bright_center = bc / float(pc * pc)
+    if getattr(cfg, "bright_at_points", False):
+        # The brightness statistics are only ever READ at a few hundred
+        # integer points (joint centroids for the center seed, rounded
+        # intersections for the grid origin).  conv_at_points evaluates the
+        # same exact-mode separable correlations AT those points -- one
+        # (P, H) x (H, W) HIGHEST matmul each instead of two full-image
+        # exact matmuls PLUS a TPU dynamic gather (the gathers alone were
+        # ~0.03 ms/view, hidden from earlier stage probes by xy-only DCE).
+        bright_center = None
+        bright_index = None
+    else:
+        pc = 2 * cfg.center_patch_half + 1
+        bt = mxc.box_taps(pc)
+        bc = mxc.conv_y(
+            mxc.conv_x(gray, mxc.x_mat(bt, w, exact=True), exact=True),
+            mxc.y_mat(bt, h, exact=True), exact=True,
+        )
+        bright_center = bc / float(pc * pc)
 
-    pi = 2 * cfg.patch_half_min + 1
-    ct = mxc.compose_taps(
-        mxc.gauss_taps_cv(cfg.index_blur_ksize), mxc.box_taps(pi)
-    )
-    bi = mxc.conv_y(
-        mxc.conv_x(gray, mxc.x_mat(ct, w, exact=True), exact=True),
-        mxc.y_mat(ct, h, exact=True), exact=True,
-    )
-    bright_index = bi / float(pi * pi)
+        pi = 2 * cfg.patch_half_min + 1
+        ct = mxc.compose_taps(
+            mxc.gauss_taps_cv(cfg.index_blur_ksize), mxc.box_taps(pi)
+        )
+        bi = mxc.conv_y(
+            mxc.conv_x(gray, mxc.x_mat(ct, w, exact=True), exact=True),
+            mxc.y_mat(ct, h, exact=True), exact=True,
+        )
+        bright_index = bi / float(pi * pi)
 
     jb = mxc.box_taps(joint_window)
     jr = mxc.ramp_taps(joint_window)
@@ -482,12 +493,21 @@ def _center_seed(
         & (cents[:, 1] >= y0)
         & (cents[:, 1] < y0 + bh)
     )
-    if bright_img is None:
-        patch = 2 * cfg.center_patch_half + 1
-        bright_img = box_filter(gray, patch, mode="constant")
     xi = jnp.clip(cents[:, 0].astype(jnp.int32), 0, gray.shape[1] - 1)
     yi = jnp.clip(cents[:, 1].astype(jnp.int32), 0, gray.shape[0] - 1)
-    bright = jnp.where(inside, bright_img[yi, xi], -jnp.inf)
+    if bright_img is None and getattr(cfg, "bright_at_points", False):
+        from cylinder_pose_estimation_tpu.ops import mxu_conv as mxc
+
+        pc = 2 * cfg.center_patch_half + 1
+        vals = mxc.conv_at_points(gray, yi, xi, mxc.box_taps(pc)) / float(
+            pc * pc
+        )
+    else:
+        if bright_img is None:
+            patch = 2 * cfg.center_patch_half + 1
+            bright_img = box_filter(gray, patch, mode="constant")
+        vals = bright_img[yi, xi]
+    bright = jnp.where(inside, vals, -jnp.inf)
     ci = jnp.argmax(bright)
     center = cents[ci]
     d = jnp.linalg.norm(cents - center, axis=-1)
@@ -1511,10 +1531,21 @@ def detect_grid(
     col_rank = _rank_by(mean_x, any_col)
 
     # 6g. center indexing (ref indexing_data :1350-1571)
-    bright_img = bright_index
     xg = jnp.clip(jnp.round(xi).astype(jnp.int32), 0, gray.shape[1] - 1)
     yg = jnp.clip(jnp.round(yi).astype(jnp.int32), 0, gray.shape[0] - 1)
-    bright = jnp.where(accept, bright_img[yg, xg], -jnp.inf)
+    if bright_index is None:
+        from cylinder_pose_estimation_tpu.ops import mxu_conv as mxc
+
+        pi_ = 2 * cfg.patch_half_min + 1
+        ct_ = mxc.compose_taps(
+            mxc.gauss_taps_cv(cfg.index_blur_ksize), mxc.box_taps(pi_)
+        )
+        bvals = mxc.conv_at_points(
+            gray, yg.reshape(-1), xg.reshape(-1), ct_
+        ).reshape(yg.shape) / float(pi_ * pi_)
+    else:
+        bvals = bright_index[yg, xg]
+    bright = jnp.where(accept, bvals, -jnp.inf)
     flat_ci = jnp.argmax(bright.reshape(-1))
     c_r = flat_ci // cfg.max_cols
     c_c = flat_ci % cfg.max_cols

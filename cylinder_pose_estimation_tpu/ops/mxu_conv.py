@@ -44,6 +44,7 @@ __all__ = [
     "compose_taps",
     "conv_x",
     "conv_y",
+    "conv_at_points",
 ]
 
 
@@ -191,3 +192,51 @@ def conv_y(img: jnp.ndarray, amat: jnp.ndarray, exact: bool = False) -> jnp.ndar
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _taps_rows(idx: jnp.ndarray, taps: tuple, n: int) -> jnp.ndarray:
+    """(P, n) matrix whose row p holds ``taps`` centered at column idx[p]:
+    rows[p, j] = taps[j - idx[p] + r], zero outside the band -- the
+    gathered-row form of band_matrix, built WITHOUT a gather (TPU dynamic
+    gathers are disproportionately slow; len(taps) where-passes over a
+    (P, n) iota are microseconds).  Uniform (box) taps collapse to a single
+    band compare."""
+    r = len(taps) // 2
+    jj = jnp.arange(n, dtype=jnp.int32)[None, :]
+    off = jj - idx[:, None].astype(jnp.int32) + r
+    first = taps[0]
+    if all(t == first for t in taps):
+        return jnp.where(
+            (off >= 0) & (off < len(taps)), jnp.float32(first), 0.0
+        )
+    out = jnp.zeros(off.shape, jnp.float32)
+    for t, v in enumerate(taps):
+        out = out + jnp.where(off == t, jnp.float32(v), 0.0)
+    return out
+
+
+def conv_at_points(
+    img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, taps: tuple
+) -> jnp.ndarray:
+    """Separable centered correlation of ``img`` with ``taps`` evaluated at
+    integer points (ys, xs) -- WITHOUT materializing the filtered image or
+    gathering from it.
+
+    Equivalent to conv_y(conv_x(img, x_mat(taps, W, exact=True)),
+    y_mat(taps, H, exact=True)) gathered at (ys, xs), up to f32 summation
+    order (HIGHEST-precision band dots either way): the filtered image +
+    (P,)-gather form costs two full (H/W)-sized exact matmuls PLUS a TPU
+    dynamic gather; this per-point form is one (P, H) x (H, W) HIGHEST
+    matmul and an elementwise row dot.  Zero padding at borders, like
+    band_matrix.  P stays modest (hundreds), so the (P, W) intermediates
+    are tiny."""
+    h, w = img.shape
+    u = _taps_rows(ys, taps, h)                     # (P, H)
+    m = jax.lax.dot_general(
+        u, img.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                               # (P, W)
+    v = _taps_rows(xs, taps, w)                     # (P, W)
+    return jnp.sum(m * v, axis=-1)

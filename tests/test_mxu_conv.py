@@ -92,3 +92,26 @@ def test_compose_taps_matches_two_pass():
     )
     two = _zero_pad_corr(x[None, :], comp, 1)
     assert np.allclose(one, two, atol=1e-12)
+
+
+def test_conv_at_points_matches_image_gather():
+    """Per-point banded dots == full-image separable conv gathered at the
+    points (same exact-mode arithmetic up to f32 summation order)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cylinder_pose_estimation_tpu.ops import mxu_conv as mxc
+
+    rng = np.random.default_rng(5)
+    h, w = 96, 128
+    img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    ys = jnp.asarray(rng.integers(0, h, 40), jnp.int32)
+    xs = jnp.asarray(rng.integers(0, w, 40), jnp.int32)
+    for taps in (mxc.box_taps(11),
+                 mxc.compose_taps(mxc.gauss_taps_cv(7), mxc.box_taps(7))):
+        ref_img = mxc.conv_y(
+            mxc.conv_x(img, mxc.x_mat(taps, w, exact=True), exact=True),
+            mxc.y_mat(taps, h, exact=True), exact=True,
+        )
+        ref = np.asarray(ref_img)[np.asarray(ys), np.asarray(xs)]
+        got = np.asarray(mxc.conv_at_points(img, ys, xs, taps))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-2)

@@ -60,7 +60,11 @@ def test_preprocess_binarize_matches_xla_interior():
     )
     from cylinder_pose_estimation_tpu.ops.image import box_filter
 
-    cfg = CylinderDetectConfig()
+    from dataclasses import replace as _replace
+
+    # bright_at_points=False: this block checks the full-image statistic
+    # form (the per-point form is pinned against it in test_mxu_conv).
+    cfg = _replace(CylinderDetectConfig(), bright_at_points=False)
     joints = jnp.asarray(np.asarray(j) > 0.5)
     sat, bc, bi, jcx, jcy = _stats_images(
         g, joints.astype(jnp.float32), jcnt, cfg
