@@ -200,6 +200,20 @@ class DetectConfig:
                                  # pools=2 is exact (jobs 024/025).  A/B
                                  # parity vs the fully-converged XLA labels
                                  # is the check
+    cc_warm_start: bool = True   # Pallas path: seed the FINAL labels CC with
+                                 # the bridge stage's pre-bridge fragment
+                                 # labels.  Min-propagation's fixpoint (per-
+                                 # component min linear index) is unchanged;
+                                 # convergence only has to cross the bridge-
+                                 # added pixels, so pallas_cc_rounds_warm
+                                 # rounds replace pallas_cc_rounds.  No-op on
+                                 # the XLA path and when bridge_endpoint_stats
+                                 # provides no label image.
+    pallas_cc_rounds_warm: int = 2  # final-CC rounds under cc_warm_start:
+                                 # prebridge(2) + warm(N) total propagation
+                                 # depth must cover what cold-start needed 3
+                                 # rounds for, PLUS one round to flood across
+                                 # newly bridged joins.
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
     bridge_half_res: bool = True  # run the ENTIRE bridge (stats + endpoint
                                  # probes + oriented dilation) at label

@@ -878,8 +878,14 @@ def _bridge_pair(
     kernel_len: jnp.ndarray,
     max_kernel_len: int,
     cfg: DetectConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Bridge the h/v line-mask pair.
+
+    Returns (h_bridged, v_bridged, warm_labels): warm_labels is the (2, Hs,
+    Ws) pre-bridge fragment labeling from the bridge's own stats CC (Pallas
+    default path only, else None) -- a valid warm start for the final labels
+    CC, since bridging only ADDS mask pixels and min-propagation's fixpoint
+    is start-independent (see pallas connected_components ``init_labels``).
 
     Pallas path: one batched CC launch for both masks, then ONE fused VMEM
     bridge-morphology kernel (probes + oriented dilation + 3x3 open) for the
@@ -902,10 +908,12 @@ def _bridge_pair(
                         pre_pooled=True, probe_len=pr),
                 _bridge(_pool2_pad(mv), jnp.pi / 2, kl, mk, cfg,
                         pre_pooled=True, probe_len=pr),
+                None,
             )
         return (
             _bridge(mh, 0.0, kernel_len, max_kernel_len, cfg),
             _bridge(mv, jnp.pi / 2, kernel_len, max_kernel_len, cfg),
+            None,
         )
     from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
         bridge_morphology,
@@ -939,6 +947,7 @@ def _bridge_pair(
         from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
             component_payload_minmax,
         )
+    warm_labels = None
     for _ in range(cfg.bridge_repeats):
         small = (
             jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
@@ -967,6 +976,7 @@ def _bridge_pair(
                 pools_per_round=cfg.pallas_cc_pools,
                 interpret=cfg.pallas_interpret,
             )
+            warm_labels = labels
             (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_pair(
                 small, labels, cfg, scale=ds
             )
@@ -983,7 +993,7 @@ def _bridge_pair(
             interpret=cfg.pallas_interpret,
         )
         masks = bridged > 0.5
-    return masks[0], masks[1]
+    return masks[0], masks[1], warm_labels
 
 
 def _assign_labels(
@@ -1346,7 +1356,7 @@ def detect_grid(
     # 6a. bridge lines
     kernel_len = jnp.asarray(cfg.bridge_kernel_base, jnp.float32) + circle_radius0
     max_kernel = cfg.bridge_kernel_base + 160
-    h_exp, v_exp = _bridge_pair(mh, mv, kernel_len, max_kernel, cfg)
+    h_exp, v_exp, warm_labels = _bridge_pair(mh, mv, kernel_len, max_kernel, cfg)
     if cfg.stage_probe == "bridge":
         return _probe(cents, inside, h_exp, v_exp)
 
@@ -1371,6 +1381,22 @@ def detect_grid(
             connected_components as cc_pallas,
         )
 
+        # Warm start from the bridge's pre-bridge fragment labels when they
+        # live on the same canvas as the final masks (always true under the
+        # default bridge_half_res; bridging only ADDS pixels, so the labels
+        # are a valid partial min-propagation state -- see pallas
+        # connected_components ``init_labels``).
+        warm = (
+            getattr(cfg, "cc_warm_start", False)
+            and warm_labels is not None
+            and warm_labels.shape == hv_masks.shape
+        )
+        cc_rounds = (
+            max(1, int(getattr(cfg, "pallas_cc_rounds_warm", 2)))
+            if warm
+            else max(1, int(cfg.pallas_cc_rounds))
+        )
+        init = warm_labels if warm else None
         cap = int(getattr(cfg, "pallas_cc_cross_cap", 0))
         if cap > 0:
             # Orientation-aware scan caps: the h-mask's contiguous runs
@@ -1381,24 +1407,27 @@ def detect_grid(
             # ~0.3 us/view amortized over the vmapped frame batch.
             h_labels = cc_pallas(
                 hv_masks[0],
-                rounds=max(1, int(cfg.pallas_cc_rounds)),
+                rounds=cc_rounds,
                 pools_per_round=cfg.pallas_cc_pools,
                 cap_axis=0, cap=cap,
                 interpret=cfg.pallas_interpret,
+                init_labels=None if init is None else init[0],
             )
             v_labels = cc_pallas(
                 hv_masks[1],
-                rounds=max(1, int(cfg.pallas_cc_rounds)),
+                rounds=cc_rounds,
                 pools_per_round=cfg.pallas_cc_pools,
                 cap_axis=1, cap=cap,
                 interpret=cfg.pallas_interpret,
+                init_labels=None if init is None else init[1],
             )
         else:
             hv_labels = cc_pallas(
                 hv_masks,
-                rounds=max(1, int(cfg.pallas_cc_rounds)),
+                rounds=cc_rounds,
                 pools_per_round=cfg.pallas_cc_pools,
                 interpret=cfg.pallas_interpret,
+                init_labels=init,
             )
             h_labels, v_labels = hv_labels[0], hv_labels[1]
     else:

@@ -552,8 +552,13 @@ def _seg_min_scan_roll(lab, maskf, axis, n, cap: int = 0):
     return out
 
 
-def _cc_kernel(mask_ref, labels_ref, *, rounds: int, pools_per_round: int,
-               cap_axis: int = -1, cap: int = 0):
+def _cc_kernel(mask_ref, *rest, rounds: int, pools_per_round: int,
+               cap_axis: int = -1, cap: int = 0, warm: bool = False):
+    if warm:
+        init_ref, labels_ref = rest
+    else:
+        (labels_ref,) = rest
+        init_ref = None
     h, w = mask_ref.shape[-2:]
     maskf = mask_ref[0] if mask_ref.ndim == 3 else mask_ref[:]
     # Zero a 1-px border ring: rolls wrap circularly, and bridged masks
@@ -576,7 +581,18 @@ def _cc_kernel(mask_ref, labels_ref, *, rounds: int, pools_per_round: int,
         + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     )
     big = jnp.asarray(h * w, jnp.int32)
-    lab0 = jnp.where(mask, idx, big)
+    if init_ref is not None:
+        # Warm start from a partially-converged label image (e.g. the
+        # bridge's pre-bridge fragment labels): min-propagation's fixpoint
+        # is the unique per-component min linear index, and any state where
+        # every in-mask pixel holds the index OF SOME PIXEL IN ITS OWN
+        # COMPONENT (own index for fresh pixels) converges to it.  Pixels
+        # the warm labels never saw (values >= big, or mask pixels added
+        # after the warm labeling) fall back to their own index.
+        init = init_ref[0] if init_ref.ndim == 3 else init_ref[:]
+        lab0 = jnp.where(mask, jnp.minimum(init, idx), big)
+    else:
+        lab0 = jnp.where(mask, idx, big)
 
     def pool(lab):
         m = lab
@@ -750,6 +766,7 @@ def connected_components(
     cap_axis: int = -1,
     cap: int = 0,
     interpret: bool = False,
+    init_labels: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """VMEM-resident 8-connected labeling: pools + segmented doubling scans.
 
@@ -771,29 +788,42 @@ def connected_components(
     mask may be (H, W) or (B, H, W); the batched form labels each image in
     its own grid program (labels are per-image linear indices), one kernel
     launch for e.g. the h/v line-mask pair.
+
+    ``init_labels`` (same shape as mask, int32): warm-start label image --
+    e.g. fragment labels computed BEFORE a morphology pass that only ADDS
+    mask pixels.  Every in-mask value must be the linear index of a pixel
+    in the same component (background / unseen pixels may hold anything
+    >= H*W; fresh mask pixels fall back to their own index).  The fixpoint
+    is identical to a cold start (per-component min index), but convergence
+    only has to cross the newly added pixels, so far fewer rounds suffice.
     """
     if iters is not None:
         rounds = max(6, iters // 48)
     squeeze = mask.ndim == 2
     if squeeze:
         mask = mask[None]
+        if init_labels is not None:
+            init_labels = init_labels[None]
     b, h, w = mask.shape
+    blk = lambda i: (i, 0, 0)  # noqa: E731
+    spec = pl.BlockSpec((1, h, w), blk, memory_space=pltpu.VMEM)
+    args = [mask.astype(jnp.float32)]
+    in_specs = [spec]
+    if init_labels is not None:
+        args.append(init_labels.astype(jnp.int32))
+        in_specs.append(spec)
     out = pl.pallas_call(
         functools.partial(
             _cc_kernel, rounds=rounds, pools_per_round=pools_per_round,
-            cap_axis=cap_axis, cap=cap,
+            cap_axis=cap_axis, cap=cap, warm=init_labels is not None,
         ),
         grid=(b,),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-        in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(mask.astype(jnp.float32))
+    )(*args)
     return out[0] if squeeze else out

@@ -213,6 +213,43 @@ def test_connected_components_batched():
         assert _canon(lab[b], m[b]) == _canon(ref, m[b])
 
 
+def test_connected_components_warm_start():
+    """init_labels from a SUBSET mask (pre-bridge fragments) must converge to
+    the identical fixpoint as a cold start -- the contract behind
+    cfg.cc_warm_start (bridging only ADDS pixels, see detector._bridge_pair)."""
+    rng = np.random.default_rng(3)
+    m = np.zeros((96, 128), bool)
+    for _ in range(14):
+        y, x = rng.integers(4, 88), rng.integers(4, 120)
+        ln = int(rng.integers(5, 25))
+        if rng.random() < 0.5:
+            m[y : y + 2, x : min(x + ln, 126)] = True
+        else:
+            m[y : min(y + ln, 94), x : x + 2] = True
+    sub = m.copy()
+    sub[::4, :] = False  # punch gaps: the "pre-bridge" fragment mask
+    # Partially-converged warm labels (1 round), as the bridge stage provides.
+    warm = connected_components(jnp.asarray(sub), rounds=1, interpret=True)
+    cold = np.asarray(
+        connected_components(jnp.asarray(m), rounds=10, interpret=True)
+    )
+    got = np.asarray(
+        connected_components(
+            jnp.asarray(m), rounds=10, interpret=True, init_labels=warm
+        )
+    )
+    assert (got == cold).all()
+    # Warm-starting from the converged labels of the SAME mask is idempotent
+    # at a single round.
+    again = np.asarray(
+        connected_components(
+            jnp.asarray(m), rounds=1, interpret=True,
+            init_labels=jnp.asarray(cold),
+        )
+    )
+    assert (again == cold).all()
+
+
 def test_bridge_morphology_matches_xla_chain():
     """The fused VMEM bridge kernel must reproduce the XLA traced-shift chain
     (directional_count -> dilate_line -> dilate_rect -> erode combine) that
