@@ -209,11 +209,16 @@ class DetectConfig:
                                  # rounds replace pallas_cc_rounds.  No-op on
                                  # the XLA path and when bridge_endpoint_stats
                                  # provides no label image.
-    pallas_cc_rounds_warm: int = 2  # final-CC rounds under cc_warm_start:
+    pallas_cc_rounds_warm: int = 1  # final-CC rounds under cc_warm_start:
                                  # prebridge(2) + warm(N) total propagation
                                  # depth must cover what cold-start needed 3
-                                 # rounds for, PLUS one round to flood across
-                                 # newly bridged joins.
+                                 # rounds for, PLUS flooding across newly
+                                 # bridged joins.  One round suffices because
+                                 # each round's full-row/col segmented scans
+                                 # traverse every bridge along a line in one
+                                 # pass; A/B on TPU (job 022): warm1 ==
+                                 # converged cold8 == XLA exactly on all 16
+                                 # bench scenes, 0.751 -> 0.725 ms/frame.
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
     bridge_half_res: bool = True  # run the ENTIRE bridge (stats + endpoint
                                  # probes + oriented dilation) at label
