@@ -40,11 +40,16 @@ N_DEV = 8
 
 
 # Ground-truth camera<->AGV transform: maps the kinematic cylinder poses in
-# front of the camera (axis ~ +y_cam, origin ~ (0,-20,420) mm).
+# front of the camera (axis ~ +y_cam).  The translation is chosen so the
+# rendered grid stays FULLY visible in both views across the whole pan range
+# on these miniature 192x256 frames: frames whose grid clips the frame edge
+# detect partial/origin-shifted grids, get health-masked out of the
+# registration, and the remaining near-coplanar viewpoints make the 6-dof
+# problem gauge-flat (a genuinely lower-objective wrong pose exists).
 _R_GT = np.asarray([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
 _T_GT = np.eye(4)
 _T_GT[:3, :3] = _R_GT
-_T_GT[:3, 3] = [15.0, 158.0, 310.0]
+_T_GT[:3, 3] = [0.0, 158.0, 360.0]
 
 _ANGLES = np.stack(
     [np.linspace(-0.15, 0.15, N_DEV), np.linspace(0.05, -0.05, N_DEV)], axis=-1
@@ -66,8 +71,8 @@ def _frames(stereo, n):
             origin=tuple(float(v) for v in t_cam_cyl[:3, 3]),
             direction=tuple(float(v) for v in t_cam_cyl[:3, 1]),
             radius=55.0,
-            row_spacing=8.0,
-            theta_span=1.4,
+            row_spacing=7.0,
+            theta_span=1.1,
             capacity=128,
             seed=k,
         )
@@ -137,11 +142,29 @@ def test_sharded_pipeline_matches_unsharded():
 
     _assert_fits_equivalent(batch_sh.fit, batch_ref.fit)
     # Registration reduces across frames (all-gather + replicated solve);
-    # both paths must land near the ground truth.
+    # both paths must land near the ground truth.  Compare what the
+    # objective actually determines -- the per-frame predicted cylinder
+    # AXIS LINES (T @ t_agv_cyl(pan, tilt), axis = y column) -- rather than
+    # the raw translation of T: with a ~17 deg total pan swing the
+    # objective is nearly flat along the shared axis direction, so the
+    # translation component alone is weakly observable even for a correct
+    # solution.
+    from cylinder_pose_estimation_tpu.geometry.kinematics import t_agv_cyl
+
+    tac = np.asarray(t_agv_cyl(angles[:, 0], angles[:, 1]))
     for reg in (reg_ref, reg_sh):
         t = np.asarray(reg.t_cam_agv)
         assert np.all(np.isfinite(t))
-        assert np.linalg.norm(t[:3, 3] - _T_GT[:3, 3]) < 30.0, t
+        for k in range(N_DEV):
+            a_gt = _T_GT @ tac[k]
+            a_fd = t @ tac[k]
+            da = a_gt[:3, 1] / np.linalg.norm(a_gt[:3, 1])
+            db = a_fd[:3, 1] / np.linalg.norm(a_fd[:3, 1])
+            ang = np.degrees(np.arccos(min(1.0, abs(float(da @ db)))))
+            assert ang < 5.0, (k, ang)
+            d = a_fd[:3, 3] - a_gt[:3, 3]
+            perp = d - (d @ da) * da
+            assert np.linalg.norm(perp) < 10.0, (k, np.linalg.norm(perp))
     np.testing.assert_allclose(
         np.asarray(reg_sh.t_cam_agv), np.asarray(reg_ref.t_cam_agv),
         rtol=0.05, atol=5.0,
