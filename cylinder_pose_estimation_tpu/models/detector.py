@@ -1215,9 +1215,14 @@ def detect_grid(
             # Composed Gaussian(blur) o Gaussian(ridge_sigma) as banded MXU
             # matmuls (exact mode): moves the kernel's largest VPU roll
             # chain (~100 shift+FMA passes/view) onto the matrix unit.
-            # Border semantics change from circular wrap to zero padding --
-            # both are masked out by the detector margin (>= smoothing
-            # radius 14) before any consumer reads them.
+            # Border semantics change from circular wrap to zero padding.
+            # Influence propagates ~23 px (smoothing radius 14 + gradient 2
+            # + sauvola_window/2 = 7) vs border_margin 20, so a ~3 px band
+            # of kept binarization can differ between this path and the
+            # in-kernel smoothing -- accepted, same class as the
+            # pre-existing wrap-vs-XLA border discrepancy (the band holds
+            # no grid content on any bench scene; raising the margin would
+            # change detection near edges instead).
             from cylinder_pose_estimation_tpu.ops import mxu_conv as mxc
 
             ct = mxc.compose_taps(
@@ -1392,7 +1397,7 @@ def detect_grid(
             and warm_labels.shape == hv_masks.shape
         )
         cc_rounds = (
-            max(1, int(getattr(cfg, "pallas_cc_rounds_warm", 2)))
+            max(1, int(getattr(cfg, "pallas_cc_rounds_warm", 1)))
             if warm
             else max(1, int(cfg.pallas_cc_rounds))
         )

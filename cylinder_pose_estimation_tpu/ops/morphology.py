@@ -124,6 +124,11 @@ def directional_count(
     ca = jnp.cos(angle)
     sa = jnp.sin(angle)
     f = mask.astype(jnp.float32)
+    if probe_len <= 0:
+        # Degenerate probe: no pixels along an empty ray.  Currently
+        # unreachable from the detector (endpoint_probe_len=9 halves to
+        # >= 2 under bridge_half_res) but the contract is a count image.
+        return jnp.zeros_like(f)
 
     # Hillis-Steele doubling over the ray: C_2m = C_m + shift(C_m, -d(m))
     # covers 2m steps in log passes instead of 2m.  The far-half offsets

@@ -168,6 +168,44 @@ def test_directional_count_angled_line_endpoints():
     assert bwd[8, 8] <= 1
 
 
+def test_directional_count_steep_thin_diagonal():
+    """Pin the ACCEPTED drift of the log-doubling ray on the worst case: a
+    1-px-thick steep diagonal, where the composed offsets d(m)+d(off) differ
+    from the per-step chain d(m+off) by <= 1 px laterally (see
+    ops/morphology.py directional_count).  The contract we rely on for
+    endpoint detection survives: true endpoints read (near-)empty outward
+    rays, interior pixels read clearly-occupied rays, so the endpoint
+    gate (count == 0) never fires mid-line."""
+    import math
+
+    n = 64
+    m = np.zeros((n, n), bool)
+    ang = math.atan2(2.0, 1.0)  # ~63.4 deg: steeper than the 45-deg test
+    for t in range(24):  # 1-px-thick rasterized steep line from (8, 8)
+        y, x = 8 + 2 * t, 8 + t
+        m[y, x] = True
+        m[min(y + 1, n - 1), x] = True  # 8-connected staircase riser
+    fwd = np.asarray(directional_count(jnp.asarray(m), jnp.asarray(ang), 6, +1))
+    bwd = np.asarray(directional_count(jnp.asarray(m), jnp.asarray(ang), 6, -1))
+    on = m.nonzero()
+    # No interior pixel reads a fully-empty outward ray in BOTH directions
+    # (that would fabricate an isolated-speck reading mid-line).
+    interior = (np.abs(on[0] - 31) < 16)
+    assert (fwd[on][interior] + bwd[on][interior] > 0).all()
+    # PINNED DRIFT: the re-rasterized ray alternates between the staircase
+    # spine and riser, so a mid-line pixel CAN read 0 in ONE direction
+    # (spine fwd=3/bwd=0, riser fwd=0/bwd=3 here) -- i.e. a one-sided
+    # endpoint gate DOES fire mid-line on 1-px steep diagonals.  This is
+    # the accepted deviation from the reference's per-contour PCA endpoints
+    # (ADVICE r2); steep scenes are fenced by DetectResult.labels_converged
+    # rather than by endpoint fidelity.
+    assert fwd[30, 19] + bwd[30, 19] >= 3  # spine interior: occupied one way
+    assert fwd[31, 19] + bwd[31, 19] >= 3  # riser interior: occupied one way
+    # The two true ends read near-empty outward rays (<= 1 px of drift).
+    assert fwd[54, 31] <= 1 and fwd[55, 31] <= 1
+    assert bwd[8, 8] <= 1 and bwd[9, 8] <= 1
+
+
 def test_connected_components_and_stats():
     m = np.zeros((32, 32), bool)
     m[2:6, 2:6] = True       # 16 px blob

@@ -250,6 +250,65 @@ def test_connected_components_warm_start():
     assert (again == cold).all()
 
 
+def test_warm_start_converges_at_shipped_defaults():
+    """Regression gate for the SHIPPED warm-start round counts: the detector
+    runs prebridge CC at pallas_cc_rounds_prebridge=2 and the final labels CC
+    at pallas_cc_rounds_warm=1, pools=2 (config.py defaults).  On bridged
+    near-axis line masks (the geometry the defaults were validated on, TPU
+    A/B job 022) the warm single round must already be at the cold fixpoint.
+    Steep-diagonal staircases do NOT converge at these counts -- that is the
+    documented instability (NEXT.md job 019) handled by the labels_converged
+    flag, not by this gate."""
+    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig
+
+    cfg = CylinderDetectConfig()
+    assert cfg.pallas_cc_rounds_prebridge == 2
+    assert cfg.pallas_cc_rounds_warm == 1
+    assert cfg.pallas_cc_pools == 2
+
+    rng = np.random.default_rng(7)
+    # Near-axis h/v line fragments with gaps (pre-bridge mask) ...
+    frag = np.zeros((2, 96, 128), bool)
+    for r, y in enumerate((18, 40, 62, 84)):
+        tilt = (r % 2)  # 1-px stair over the run: near-axis, not staircase
+        for x0 in range(8, 120, 18):
+            x1 = min(x0 + 12, 126)
+            frag[0, y + (x0 // 64) * tilt : y + 2 + (x0 // 64) * tilt,
+                 x0:x1] = True
+    for c, x in enumerate((20, 55, 90, 112)):
+        for y0 in range(6, 88, 16):
+            y1 = min(y0 + 11, 94)
+            frag[1, y0:y1, x : x + 2] = True
+    # ... and the bridged mask: short along-line joins ONLY (bridging is
+    # monotone -- it only ADDS pixels, detector._bridge_pair contract).
+    bridged = frag.copy()
+    for r, y in enumerate((18, 40, 62, 84)):
+        bridged[0, y : y + 2, 8:126] = True
+    for c, x in enumerate((20, 55, 90, 112)):
+        bridged[1, 6:94, x : x + 2] = True
+    assert (bridged | frag == bridged).all()
+
+    warm = connected_components(
+        jnp.asarray(frag),
+        rounds=cfg.pallas_cc_rounds_prebridge,
+        pools_per_round=cfg.pallas_cc_pools,
+        interpret=True,
+    )
+    got = np.asarray(
+        connected_components(
+            jnp.asarray(bridged),
+            rounds=cfg.pallas_cc_rounds_warm,
+            pools_per_round=cfg.pallas_cc_pools,
+            interpret=True,
+            init_labels=warm,
+        )
+    )
+    cold = np.asarray(
+        connected_components(jnp.asarray(bridged), rounds=10, interpret=True)
+    )
+    assert (got == cold).all()
+
+
 def test_bridge_morphology_matches_xla_chain():
     """The fused VMEM bridge kernel must reproduce the XLA traced-shift chain
     (directional_count -> dilate_line -> dilate_rect -> erode combine) that
