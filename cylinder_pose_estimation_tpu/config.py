@@ -158,6 +158,22 @@ class DetectConfig:
     # curvature seeding (ref utils/estCurvatures.m:6 K=20); fewer points would
     # run the LM chain on garbage with ok=True.
     min_ok_points: int = 20
+    # Stability fence for the documented steep-diagonal chaotic regime
+    # (NEXT.md job 019: on >= ~30 deg diagonal grids NOTHING agrees --
+    # converged Pallas, XLA and CPU all label differently because fragment
+    # merges cascade through polyfit/indexing).  DetectResult.stable is False
+    # when the median |line tilt| from the grid axes exceeds this (radians)
+    # or the final labeling CC did not reach its fixpoint; frame_health
+    # masks such frames out of multi-frame registration.
+    max_stable_tilt: float = 0.35  # ~20 deg; bench scenes are < 0.1
+    # Second fence for the same regime: beyond ~20 deg the 20-px axis-
+    # aligned line openings (ref utils/util_cylinder.py:1810-1815) shred
+    # tilted lines into short axis-aligned specks -- the measured tilt goes
+    # to ~0 (the specks ARE axis-aligned) while detection keeps "working"
+    # chaotically.  The tell is retention: the fraction of binarized pixels
+    # surviving the openings collapses (measured: legit scene families
+    # >= 0.98; 22-26 deg grids 0.20-0.34; 32 deg 0.0).
+    min_mask_retention: float = 0.6
 
     # --- plane-path short-column merge (ref utils/util_plane.py:449-557) ----
     # Merge consecutive "abnormal" short columns (span <= 0.9 * max span)
@@ -406,3 +422,11 @@ class RegistrationConfig:
     # reference lets such frames poison fminsearch, ref :82-94).
     min_frame_points: int = 8
     max_frame_reproj_px: float = 2.0
+    # Observability gate for RegistrationResult.well_posed: minimum
+    # eigenvalue of the 6-dof JtJ at the solution, per contributing frame.
+    # A narrow pan swing leaves t_cam_agv's along-axis translation
+    # unobservable (a LOWER objective than ground truth exists -- NEXT.md
+    # gauge-flatness diagnosis; the reference shares the failure mode,
+    # ref utils/fitCylinderWPts3sAngs.m:71-94).  Measured: ~8e-3/frame for
+    # a +-0.5 rad pan sweep, ~5e-4/frame at +-0.05 rad.
+    min_observability: float = 1.5e-3

@@ -53,6 +53,7 @@ from cylinder_pose_estimation_tpu.ops.polyfit import (
     masked_polyfit,
     poly_domain,
     poly_intersection,
+    polyder,
     polyval,
 )
 from cylinder_pose_estimation_tpu.ops.ridge import binarize_ridges
@@ -849,11 +850,15 @@ def _bridge(
     of the shared half-res bridge algorithm (cfg.bridge_half_res); the
     caller halves kernel/probe lengths.  Required for exact A/B parity with
     the Pallas path now that bridging is active: a full-res XLA bridge and a
-    half-res Pallas bridge legitimately produce different masks."""
+    half-res Pallas bridge legitimately produce different masks.
+
+    Returns (bridged_mask, median_component_angle) -- the angle feeds the
+    steep-diagonal stability fence (DetectResult.max_line_tilt)."""
     h_img, w_img = mask.shape
     ds = cfg.label_downsample
     probe = cfg.endpoint_probe_len if probe_len is None else probe_len
     out = mask
+    angle = jnp.asarray(base_angle, jnp.float32)
     for _ in range(cfg.bridge_repeats):
         if pre_pooled:
             small = out
@@ -869,7 +874,7 @@ def _bridge(
         grown = morphology.dilate_line(endpoints, angle, max_kernel_len, kernel_len)
         grown = morphology.dilate_rect(grown, 3, 3)  # give the line thickness
         out = out | (morphology.erode_rect(out | grown, 3, 3) & grown)
-    return out
+    return out, angle
 
 
 def _bridge_pair(
@@ -878,14 +883,17 @@ def _bridge_pair(
     kernel_len: jnp.ndarray,
     max_kernel_len: int,
     cfg: DetectConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Bridge the h/v line-mask pair.
 
-    Returns (h_bridged, v_bridged, warm_labels): warm_labels is the (2, Hs,
-    Ws) pre-bridge fragment labeling from the bridge's own stats CC (Pallas
-    default path only, else None) -- a valid warm start for the final labels
-    CC, since bridging only ADDS mask pixels and min-propagation's fixpoint
-    is start-independent (see pallas connected_components ``init_labels``).
+    Returns (h_bridged, v_bridged, warm_labels, angles): warm_labels is the
+    (2, Hs, Ws) pre-bridge fragment labeling from the bridge's own stats CC
+    (Pallas default path only, else None) -- a valid warm start for the final
+    labels CC, since bridging only ADDS mask pixels and min-propagation's
+    fixpoint is start-independent (see pallas connected_components
+    ``init_labels``).  angles is the (2,) [h, v] median component orientation
+    from the last bridge repeat; it feeds the steep-diagonal stability fence
+    (DetectResult.max_line_tilt).
 
     Pallas path: one batched CC launch for both masks, then ONE fused VMEM
     bridge-morphology kernel (probes + oriented dilation + 3x3 open) for the
@@ -903,18 +911,14 @@ def _bridge_pair(
             kl = kernel_len / 2.0
             mk = max(max_kernel_len // 2, 1)
             pr = max(2, (cfg.endpoint_probe_len + 1) // 2)
-            return (
-                _bridge(_pool2_pad(mh), 0.0, kl, mk, cfg,
-                        pre_pooled=True, probe_len=pr),
-                _bridge(_pool2_pad(mv), jnp.pi / 2, kl, mk, cfg,
-                        pre_pooled=True, probe_len=pr),
-                None,
-            )
-        return (
-            _bridge(mh, 0.0, kernel_len, max_kernel_len, cfg),
-            _bridge(mv, jnp.pi / 2, kernel_len, max_kernel_len, cfg),
-            None,
-        )
+            h_out, h_ang = _bridge(_pool2_pad(mh), 0.0, kl, mk, cfg,
+                                   pre_pooled=True, probe_len=pr)
+            v_out, v_ang = _bridge(_pool2_pad(mv), jnp.pi / 2, kl, mk, cfg,
+                                   pre_pooled=True, probe_len=pr)
+            return h_out, v_out, None, jnp.stack([h_ang, v_ang])
+        h_out, h_ang = _bridge(mh, 0.0, kernel_len, max_kernel_len, cfg)
+        v_out, v_ang = _bridge(mv, jnp.pi / 2, kernel_len, max_kernel_len, cfg)
+        return h_out, v_out, None, jnp.stack([h_ang, v_ang])
     from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
         bridge_morphology,
         connected_components as cc_pallas,
@@ -993,7 +997,7 @@ def _bridge_pair(
             interpret=cfg.pallas_interpret,
         )
         masks = bridged > 0.5
-    return masks[0], masks[1], warm_labels
+    return masks[0], masks[1], warm_labels, jnp.stack([angle_h, angle_v])
 
 
 def _assign_labels(
@@ -1361,7 +1365,9 @@ def detect_grid(
     # 6a. bridge lines
     kernel_len = jnp.asarray(cfg.bridge_kernel_base, jnp.float32) + circle_radius0
     max_kernel = cfg.bridge_kernel_base + 160
-    h_exp, v_exp, warm_labels = _bridge_pair(mh, mv, kernel_len, max_kernel, cfg)
+    h_exp, v_exp, warm_labels, bridge_angles = _bridge_pair(
+        mh, mv, kernel_len, max_kernel, cfg
+    )
     if cfg.stage_probe == "bridge":
         return _probe(cents, inside, h_exp, v_exp)
 
@@ -1440,6 +1446,22 @@ def detect_grid(
         v_labels = _cc(hv_masks[1], cfg.cc_iters, cfg)
     if cfg.stage_probe == "labels":
         return _probe(cents, inside, h_labels, v_labels)
+    # Convergence diagnostic (exact): min-propagation labeling is at its
+    # fixpoint iff no mask pixel has an 8-neighbor (within the mask) holding
+    # a smaller label -- one masked 3x3 min-pool + compare.  Detects the
+    # under-converged CC regime of steep-diagonal scenes (NEXT.md job 019)
+    # on BOTH backends; feeds DetectResult.stable.
+    lab_pair = jnp.stack([h_labels, v_labels]).astype(jnp.int32)
+    masked_lab = jnp.where(hv_masks, lab_pair, jnp.iinfo(jnp.int32).max)
+    neigh_min = -jax.lax.reduce_window(
+        -masked_lab,
+        -jnp.iinfo(jnp.int32).max,
+        jax.lax.max,
+        (1, 3, 3),
+        (1, 1, 1),
+        "SAME",
+    )
+    labels_converged = ~jnp.any(hv_masks & (neigh_min < lab_pair))
     if cfg.max_rows == cfg.max_cols:
         # Rows + cols in ONE vmapped launch: _assign_labels is ~15 small
         # latency-bound (P, P) reductions, so two sequential calls pay twice
@@ -1610,8 +1632,45 @@ def detect_grid(
     # well-spread points (ref utils/estCurvatures.m:6); 4 points would run LM
     # on garbage with ok=True.
     ok = jnp.sum(accept) >= cfg.min_ok_points
+
+    # Stability fence (NEXT.md job 019): median |line tilt| from the grid
+    # axes, from the fitted polynomials' slopes at their domain midpoints.
+    # Rows are y=f(x) (tilt from horizontal), cols x=g(y) (tilt from
+    # vertical); the chaotic regime is steep diagonals on BOTH families.
+    def _median_tilt(coeffs, dom, valid_lab):
+        mid = 0.5 * (dom[:, 0] + dom[:, 1])
+        slope = polyval(polyder(coeffs), mid)
+        med = jnp.nanmedian(jnp.where(valid_lab, jnp.abs(slope), jnp.nan))
+        return jnp.arctan(jnp.where(jnp.isnan(med), 0.0, med))
+
+    poly_tilt = jnp.maximum(
+        _median_tilt(row_coeffs, row_dom, row_valid),
+        _median_tilt(col_coeffs, col_dom, col_valid),
+    )
+    # The bridge stage's median component orientations measure the same
+    # quantity BEFORE the fragile grid-assembly stages, so a steep scene
+    # whose assembly collapsed entirely (no fitted polys) is still fenced.
+    # Deviation from each base axis, wrapped into (-pi/2, pi/2].
+    base = jnp.asarray([0.0, jnp.pi / 2], jnp.float32)
+    dev = jnp.mod(bridge_angles - base + jnp.pi / 2, jnp.pi) - jnp.pi / 2
+    bridge_tilt = jnp.max(jnp.abs(dev))
+    max_line_tilt = jnp.maximum(poly_tilt, bridge_tilt)
+    # Beyond ~20 deg the axis-aligned openings shred lines into short
+    # axis-aligned specks: the measured tilt drops back to ~0 while the
+    # cascade goes chaotic.  The tell is retention -- the fraction of
+    # binarized pixels surviving the openings (legit scenes >= 0.98,
+    # the chaotic window 0.0-0.35; see cfg.min_mask_retention).
+    retention = jnp.sum(mh | mv) / jnp.maximum(jnp.sum(binary), 1.0)
+    stable = (
+        labels_converged
+        & (max_line_tilt <= cfg.max_stable_tilt)
+        & (retention >= cfg.min_mask_retention)
+    )
+
     result = DetectResult(
-        grid=grid, ok=ok, roi_bbox=bbox, circle_radius0=circle_radius0
+        grid=grid, ok=ok, roi_bbox=bbox, circle_radius0=circle_radius0,
+        labels_converged=labels_converged, max_line_tilt=max_line_tilt,
+        stable=stable,
     )
     if not return_debug:
         return result

@@ -163,6 +163,8 @@ def frame_health(
     return (
         batch.detect1.ok
         & batch.detect2.ok
+        & batch.detect1.stable
+        & batch.detect2.stable
         & (n_pts >= reg_cfg.min_frame_points)
         & finite
         & (fit.mean_reproj_error <= reg_cfg.max_frame_reproj_px)

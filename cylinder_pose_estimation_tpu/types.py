@@ -123,6 +123,16 @@ class DetectResult(NamedTuple):
     roi_bbox: jnp.ndarray    # (4,) int32 x, y, w, h
     circle_radius0: jnp.ndarray  # () float; saturation-circle radius, feeds
                                  # adaptive constants (ref util_cylinder.py:2022)
+    labels_converged: jnp.ndarray  # () bool: the final row/col labeling CC
+                                 # reached its min-propagation fixpoint
+                                 # (exact masked 3x3 min-pool check)
+    max_line_tilt: jnp.ndarray   # () float rad: median |line tilt| from the
+                                 # grid axes, max over rows/cols -- steep
+                                 # diagonals are the documented chaotic
+                                 # regime (NEXT.md job 019)
+    stable: jnp.ndarray          # () bool: converged AND tilt within
+                                 # cfg.max_stable_tilt; unstable frames are
+                                 # masked by pipeline.frame_health
 
 
 class RegistrationResult(NamedTuple):
@@ -131,3 +141,13 @@ class RegistrationResult(NamedTuple):
     t_cam_agv: jnp.ndarray  # (4, 4)
     fval0: jnp.ndarray      # () initial objective
     fval: jnp.ndarray       # () final objective
+    jtj_min_eig: jnp.ndarray  # () min eigenvalue of the 6-dof JtJ at the
+                              # solution, normalized per contributing frame:
+                              # ~8e-3 for a well-spread pan/tilt sweep,
+                              # ~5e-4 when the along-axis translation goes
+                              # gauge-flat (NEXT.md narrow-swing diagnosis)
+    well_posed: jnp.ndarray   # () bool: jtj_min_eig >= config.min_observability
+                              # -- False means t_cam_agv has a practically
+                              # unconstrained direction (typically translation
+                              # along the shared cylinder axis); demand a wider
+                              # pan/tilt spread before trusting it

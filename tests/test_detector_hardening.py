@@ -374,16 +374,15 @@ def test_bridge_closes_gap_with_default_config():
     m[120, 160:280] = True
     m[121, 160:280] = True
     # full-res variant (bridge_half_res off)
-    out = np.asarray(
-        _bridge(jnp.asarray(m), 0.0, jnp.float32(60.0), 120, cfg)
-    )
+    out, _angle = _bridge(jnp.asarray(m), 0.0, jnp.float32(60.0), 120, cfg)
+    out = np.asarray(out)
     assert out[118:124, 140:160].any(), "gap must be bridged (full res)"
     # the long line must NOT have been erased
     assert out[60, 40:280].all()
     # shipped path: shared half-res bridge via _bridge_pair (masks come back
     # on the half-res padded canvas; full-res row 120 -> 60, cols -> //2)
     assert cfg.bridge_half_res
-    mh, _, _ = _bridge_pair(
+    mh, _, _, _angles = _bridge_pair(
         jnp.asarray(m), jnp.zeros((H, W), bool), jnp.float32(60.0), 120, cfg
     )
     mh = np.asarray(mh)
