@@ -40,8 +40,11 @@ class _TiledFrames:
 
     def __getitem__(self, sl):
         idx = np.arange(*sl.indices(self.n))
-        out = self.pool[idx % len(self.pool)].astype(np.uint8)
-        return out + (idx[:, None, None] % 7).astype(np.uint8)
+        out = self.pool[idx % len(self.pool)].astype(np.int16)
+        # saturating add: the renderer clips the center blob at exactly 255,
+        # so a uint8 add would wrap saturated pixels to 0..5 and corrupt the
+        # brightest-joint origin (round-3 advisor finding)
+        return np.clip(out + idx[:, None, None] % 7, 0, 255).astype(np.uint8)
 
 
 def main() -> None:
@@ -77,15 +80,19 @@ def main() -> None:
     # Warm the compile on one chunk-shaped call (not counted).
     warm1 = _TiledFrames(pool1, args.chunk)
     warm2 = _TiledFrames(pool2, args.chunk)
-    estimate_poses_stream(warm1, warm2, stereo, cfg, fit_cfg, chunk=args.chunk)
+    estimate_poses_stream(
+        warm1, warm2, stereo, cfg, fit_cfg, chunk=args.chunk, compact=True
+    )
 
     t0 = time.perf_counter()
-    res = estimate_poses_stream(imgs1, imgs2, stereo, cfg, fit_cfg, chunk=args.chunk)
+    res = estimate_poses_stream(
+        imgs1, imgs2, stereo, cfg, fit_cfg, chunk=args.chunk, compact=True
+    )
     dt = time.perf_counter() - t0
 
     fps = args.frames / dt
-    n_ok = int(np.asarray(res.detect1.ok).sum())
-    reproj = float(np.median(np.asarray(res.fit.mean_reproj_error)))
+    n_ok = int(np.asarray(res.ok).sum())
+    reproj = float(np.median(np.asarray(res.mean_reproj_error)))
     mem = None
     try:
         stats = jax.devices()[0].memory_stats()
@@ -106,7 +113,9 @@ def main() -> None:
         "hbm_peak_bytes": mem,
         "note": (
             "full host loop wall clock: uint8 H2D + batched detect->fit "
-            "compute + host readback per chunk; device memory O(chunk)"
+            "compute + host readback per chunk; double-buffered (overlap="
+            "True) with on-device compact pose summaries (~200 B/frame "
+            "D2H); device memory O(chunk)"
         ),
     }
     print(json.dumps(out))

@@ -74,6 +74,10 @@ def _rasterize(
         gp.xy.dtype
     )  # (P, G)
     payload = jnp.concatenate([gp.xy, jnp.ones_like(gp.xy[:, :1])], -1)
+    # Masked slots may hold non-finite coords (e.g. diverged Newton
+    # intersections with accept=False); 0 * nan = nan would poison the
+    # whole reduction, so zero the payload wherever the point is excluded.
+    payload = jnp.where(inside[:, None], payload, 0.0)
     b = (colhot[:, :, None] * payload[:, None, :]).reshape(
         gp.xy.shape[0], extent * 3
     )

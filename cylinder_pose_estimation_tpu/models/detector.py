@@ -1620,10 +1620,15 @@ def detect_grid(
         ids = jnp.stack([ci, ri], axis=-1)
 
     n = cfg.max_rows * cfg.max_cols
+    # Invalid slots must carry FINITE placeholders, not diverged-Newton
+    # nan/inf: downstream consumers mask by `valid` but may multiply the
+    # raw coords by a zero mask first (0 * nan = nan).
+    xy_flat = jnp.stack([xi, yi], axis=-1).reshape(n, 2)
+    accept_flat = accept.reshape(n)
     grid = GridPoints(
-        xy=jnp.stack([xi, yi], axis=-1).reshape(n, 2),
+        xy=jnp.where(accept_flat[:, None], xy_flat, 0.0),
         idx=ids.reshape(n, 2).astype(jnp.int32),
-        valid=accept.reshape(n),
+        valid=accept_flat,
         center=jnp.stack(
             [xi[c_r, c_c], yi[c_r, c_c]]
         ),

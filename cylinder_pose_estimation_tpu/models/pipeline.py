@@ -103,6 +103,49 @@ def estimate_poses_batch(
     return StereoPoseResult(detect1=d1, detect2=d2, fit=fit)
 
 
+class StreamPoseSummary(NamedTuple):
+    """Compact per-frame serving output for the streaming pipeline.
+
+    Device->host bandwidth is the streaming bottleneck on a remote-attached
+    accelerator (measured on the v5e tunnel: D2H ~30 MB/s with an ~8 ms
+    per-transfer floor vs H2D ~1.4 GB/s), so the full StereoPoseResult
+    (~28 KB/frame of grid slots + triangulated points) must not cross the
+    link per chunk.  This summary is ~200 B/frame: what a pose-serving
+    deployment actually returns.
+    """
+
+    params0: jnp.ndarray            # (F, 6)
+    params: jnp.ndarray             # (F, 6)
+    fvals: jnp.ndarray              # (F, 2)
+    t_cam_cyl: jnp.ndarray          # (F, 4, 4)
+    mean_reproj_error: jnp.ndarray  # (F,)
+    n_points: jnp.ndarray           # (F,) int32 triangulated points in fit
+    ok: jnp.ndarray                 # (F,) both views detected a usable grid
+    stable: jnp.ndarray             # (F,) both views stable
+    healthy: jnp.ndarray            # (F,) pipeline.frame_health mask
+    center1: jnp.ndarray            # (F, 2) view-1 grid origin
+    center2: jnp.ndarray            # (F, 2)
+
+
+def _summarize_batch(
+    batch: StereoPoseResult, reg_cfg: RegistrationConfig
+) -> StreamPoseSummary:
+    fit = batch.fit
+    return StreamPoseSummary(
+        params0=fit.params0,
+        params=fit.params,
+        fvals=fit.fvals,
+        t_cam_cyl=fit.t_cam_cyl,
+        mean_reproj_error=fit.mean_reproj_error,
+        n_points=jnp.sum(fit.points_valid.astype(jnp.int32), axis=-1),
+        ok=batch.detect1.ok & batch.detect2.ok,
+        stable=batch.detect1.stable & batch.detect2.stable,
+        healthy=frame_health(batch, reg_cfg),
+        center1=batch.detect1.grid.center,
+        center2=batch.detect2.grid.center,
+    )
+
+
 def estimate_poses_stream(
     images1,
     images2,
@@ -110,30 +153,50 @@ def estimate_poses_stream(
     detect_cfg: DetectConfig,
     fit_cfg: FitConfig = FitConfig(),
     chunk: int = 64,
+    compact: bool = False,
+    overlap: bool = True,
+    reg_cfg: RegistrationConfig = RegistrationConfig(),
 ):
     """Bounded-device-memory estimate_poses_batch for long sequences.
 
     The 10k-frame end-to-end config (BASELINE.md) cannot hold all frames in
     HBM at once (10k x 480x640 f32 x 2 views = ~25 GB), so this streams
-    fixed-size ``chunk`` slices through ONE compiled step: a host loop feeds
-    each chunk (the tail is padded by repeating the last frame so shapes
-    stay static -- no recompile), results are materialized to host numpy per
-    chunk, and device memory stays O(chunk).  Numerically identical to one
-    big estimate_poses_batch call (vmap is elementwise over frames).
+    fixed-size ``chunk`` slices through ONE compiled step (the tail is padded
+    by repeating the last frame so shapes stay static -- no recompile) and
+    device memory stays O(chunk).  Numerically identical to one big
+    estimate_poses_batch call (vmap is elementwise over frames).
+
+    ``compact=True`` reduces each chunk ON DEVICE to a StreamPoseSummary
+    (~200 B/frame) before readback -- the serving configuration; the default
+    returns the full StereoPoseResult pytree (grid slots + 3D points) for
+    offline analysis, at ~28 KB/frame of D2H.
+
+    ``overlap=True`` double-buffers the host loop: chunk k+1's H2D upload and
+    compute are dispatched, and chunk k's readback is started with
+    ``copy_to_host_async``, BEFORE chunk k is materialized, so transfers in
+    both directions hide behind compute (round-3 verdict: the strictly
+    serial H2D -> compute -> blocking-readback loop ran 560x below the batch
+    throughput behind a slow host link).
 
     images1/images2: (N, H, W) arrays (numpy / memmap accepted).  Returns a
-    StereoPoseResult of host numpy arrays with the padding dropped.
+    StreamPoseSummary / StereoPoseResult of host numpy arrays with the
+    padding dropped.
     """
     import numpy as np
 
     n = images1.shape[0]
     if n == 0:
         raise ValueError("estimate_poses_stream needs at least one frame")
-    step = jax.jit(
-        lambda a, b: estimate_poses_batch(a, b, stereo, detect_cfg, fit_cfg)
-    )
-    outs = []
-    for s in range(0, n, chunk):
+
+    def _step(a, b):
+        batch = estimate_poses_batch(a, b, stereo, detect_cfg, fit_cfg)
+        return _summarize_batch(batch, reg_cfg) if compact else batch
+
+    # No donate_argnums: the uint8 image inputs can never alias the small
+    # float outputs, so donation would only emit "unusable buffer" warnings.
+    step = jax.jit(_step)
+
+    def _load(s):
         e = min(s + chunk, n)
         a = np.asarray(images1[s:e])
         b = np.asarray(images2[s:e])
@@ -141,8 +204,26 @@ def estimate_poses_stream(
         if pad:
             a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
             b = np.concatenate([b, np.repeat(b[-1:], pad, axis=0)])
+        return a, b, e - s
+
+    outs = []
+    pending = None  # (device result with async D2H started, live length)
+    for s in range(0, n, chunk):
+        a, b, live = _load(s)
         r = step(jnp.asarray(a), jnp.asarray(b))
-        outs.append(jax.tree.map(lambda x: np.asarray(x)[: e - s], r))
+        if overlap:
+            # start chunk k's D2H while the host prepares chunk k+1 and the
+            # device is free to run it
+            jax.tree.map(lambda x: x.copy_to_host_async(), r)
+            if pending is not None:
+                pr, plive = pending
+                outs.append(jax.tree.map(lambda x: np.asarray(x)[:plive], pr))
+            pending = (r, live)
+        else:
+            outs.append(jax.tree.map(lambda x: np.asarray(x)[:live], r))
+    if pending is not None:
+        pr, plive = pending
+        outs.append(jax.tree.map(lambda x: np.asarray(x)[:plive], pr))
     return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
 
 

@@ -251,6 +251,7 @@ def render_grid_image(
     center_gain: float = 70.0,
     background: float = 18.0,
     saturate_center: bool = False,
+    col_stride: int = 1,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Render the projected grid as an (H, W) uint8 laser image.
@@ -261,6 +262,17 @@ def render_grid_image(
     rows), the center point gets a brighter blob (the detector picks the
     brightest joint as origin: ref utils/util_cylinder.py:1350-1571), and an
     optional near-saturated spot exercises the saturation-masking stage.
+
+    ``col_stride > 1`` treats the grid as column-densified: row polylines use
+    every column sample (so strongly curved cylinder rows render as the true
+    projected arc instead of wide chords -- chord sagitta is a harness
+    artifact the detector would faithfully measure), while column curves and
+    joints are drawn only at every ``col_stride``-th column (the real laser
+    grid).  Generate such a grid with ``cylinder_grid_points(n_cols=
+    (C-1)*stride+1, theta_span=span)``: its every stride-th column equals the
+    C-column scene's columns exactly (the theta grid is affine in the column
+    index).  Column curves are 3D axis-parallel lines, which project to exact
+    straight lines, so they need no densification.
     """
     pts = gp_xy[: n_rows * n_cols].reshape(n_rows, n_cols, 2)
     yy = jnp.arange(height, dtype=dtype)[:, None]
@@ -283,9 +295,10 @@ def render_grid_image(
     # Row curves: consecutive columns within each row.
     a_r = pts[:, :-1].reshape(-1, 2)
     b_r = pts[:, 1:].reshape(-1, 2)
-    # Col curves: consecutive rows within each column.
-    a_c = pts[:-1].transpose(1, 0, 2).reshape(-1, 2)
-    b_c = pts[1:].transpose(1, 0, 2).reshape(-1, 2)
+    # Col curves: consecutive rows within each (non-densified) column.
+    pts_c = pts[:, ::col_stride]
+    a_c = pts_c[:-1].transpose(1, 0, 2).reshape(-1, 2)
+    b_c = pts_c[1:].transpose(1, 0, 2).reshape(-1, 2)
     segs_a = jnp.concatenate([a_r, a_c], axis=0)
     segs_b = jnp.concatenate([b_r, b_c], axis=0)
 

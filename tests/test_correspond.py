@@ -66,6 +66,55 @@ def test_choose_idx_fallback_when_no_patch_passes():
     assert int(np.asarray(corr.valid).sum()) == int(np.asarray(scene.gp1.valid).sum())
 
 
+def test_masked_nonfinite_coords_do_not_poison_raster():
+    """Regression (round 4): invalid GridPoints slots may hold nan/inf (e.g.
+    diverged Newton intersections with accept=False).  The scatter-free
+    rasterizer reduces coords with a one-hot matmul where 0 * nan = nan, so
+    unsanitized masked slots poisoned EVERY raster cell -> zero triangulable
+    correspondences -> a degenerate [r,0,0,0,0,1] cylinder fit (the full-res
+    distorted roundtrip's 88.9 deg axis failure)."""
+    stereo = default_stereo()
+    scene = cylinder_grid_points(stereo, capacity=128)
+
+    def poison(gp):
+        inval = ~np.asarray(gp.valid)
+        xy = np.asarray(gp.xy).copy()
+        xy[inval] = np.nan
+        xy[np.where(inval)[0][:3]] = np.inf
+        return gp._replace(xy=jnp.asarray(xy))
+
+    gp1, gp2 = poison(scene.gp1), poison(scene.gp2)
+    clean = choose_idx(scene.gp1, scene.gp2, stereo)
+    dirty = choose_idx(gp1, gp2, stereo)
+    assert int(np.asarray(dirty.valid).sum()) == int(np.asarray(clean.valid).sum())
+    assert bool(np.isfinite(np.asarray(dirty.xy1)[np.asarray(dirty.valid)]).all())
+    np.testing.assert_array_equal(np.asarray(dirty.valid), np.asarray(clean.valid))
+
+    corr_f = find_grid_correspondences(gp1, gp2)
+    assert int(np.asarray(corr_f.valid).sum()) == int(
+        np.asarray(find_grid_correspondences(scene.gp1, scene.gp2).valid).sum()
+    )
+
+
+def test_detector_invalid_slots_are_finite():
+    """The detector boundary itself must emit finite placeholders in masked
+    slots (defense in depth for consumers that multiply before masking)."""
+    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig
+    from cylinder_pose_estimation_tpu.models.detector import detect_grid
+    from cylinder_pose_estimation_tpu.utils.synthetic import render_grid_image
+
+    stereo = default_stereo(cx=160.0, cy=120.0)
+    scene = cylinder_grid_points(
+        stereo, capacity=128, origin=(0.0, -15.0, 560.0), radius=52.0,
+        row_spacing=12.0, theta_span=2.2,
+    )
+    img = render_grid_image(scene.gp1.xy, scene.gp1.valid, 9, 9, 240, 320)
+    res = detect_grid(
+        img.astype(jnp.float32), CylinderDetectConfig(height=240, width=320)
+    )
+    assert bool(np.isfinite(np.asarray(res.grid.xy)).all())
+
+
 def test_choose_idx_requires_complete_patches():
     stereo = default_stereo()
     scene = cylinder_grid_points(stereo, capacity=128)

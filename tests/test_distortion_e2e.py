@@ -5,14 +5,27 @@ undistortion an identity resample.  Here the sensor images are rendered
 through a FORWARD-distorting camera (grid points pushed through the OpenCV
 radial/tangential model, ref utils/iotool.py:33-35), then the full
 undistort -> detect -> correspond -> triangulate -> fit chain must recover
-the pose within the zero-distortion control's tolerances
-(ref preProcessing.m:12-13: the reference always detects on undistorted
-real images).
+the pose (ref preProcessing.m:12-13: the reference always detects on
+undistorted real images).
 
-Note: the half-res (240x320) scene's axis estimate is intrinsically noisy
-(~12 deg vs ground truth for the CONTROL too -- 28 points over a small
-patch), so the fast test asserts distorted ~= control; the slow full-res
-test asserts absolute accuracy."""
+Two regimes, two tests:
+
+  * fast half-res: EXTREME distortion (k1=-1.2; far beyond real lenses) as a
+    robustness check.  At that severity the undistort resample's local
+    stretch systematically shifts ridge positions (the reference's
+    cv2.undistort + detection chain shares this bias), so the assertion is
+    relative: distorted ~= the zero-distortion control.
+  * slow full-res: REALISTIC distortion (k1=-0.3, a strong but plausible
+    lens) with absolute accuracy asserted.  Measured round 4: the axis-error
+    noise floor at the detector's ~0.5 px error was ~3 deg median at the old
+    9x9/r104 scene geometry -- BELOW the 2 deg assertion (the round-3 red
+    test), with LM fully converged and matching fminsearch.  The fix is
+    physics, not optimizer work: a longer 13-row scene (axis extent 288 mm vs
+    radius 52), cfg.subpixel_refine (CoG refinement halves detection error to
+    ~0.23 px), and arc-true rendering (col_stride=4 removes the chord-sagitta
+    harness artifact).  Measured: control 0.75 deg, distorted 1.07 deg vs the
+    2 deg bar; Monte-Carlo q90 at 0.23 px noise ~0.9 deg.
+"""
 
 from __future__ import annotations
 
@@ -30,12 +43,18 @@ from cylinder_pose_estimation_tpu.utils.synthetic import (
     render_grid_image,
 )
 
+# Extreme coefficients for the robustness (relative) test; realistic ones for
+# the absolute-accuracy test.
+_EXTREME = ([-1.2, 0.5, 0.0], [3e-3, -2e-3])
+_REALISTIC = ([-0.3, 0.08, 0.0], [1e-3, -5e-4])
 
-def _distorted_stereo(h, w):
+
+def _distorted_stereo(h, w, coeffs=_EXTREME):
+    radial, tangential = coeffs
     stereo = default_stereo(cx=w / 2.0, cy=h / 2.0, baseline=30.0)
     cam_d = stereo.cam1._replace(
-        radial=jnp.asarray([-1.2, 0.5, 0.0], jnp.float32),
-        tangential=jnp.asarray([3e-3, -2e-3], jnp.float32),
+        radial=jnp.asarray(radial, jnp.float32),
+        tangential=jnp.asarray(tangential, jnp.float32),
     )
     return stereo._replace(cam1=cam_d, cam2=cam_d)
 
@@ -50,19 +69,11 @@ def _warp_pixels(xy, cam):
     return jnp.stack([d[..., 0] * fx + cx, d[..., 1] * fy + cy], axis=-1)
 
 
-def _run_chain(h, w, distorted: bool):
-    """Render (optionally through the distorting camera), run the full
-    undistort -> detect -> fit chain; returns (scene, result)."""
-    stereo = _distorted_stereo(h, w)
-    scale = h / 240.0
-    scene = cylinder_grid_points(
-        stereo, capacity=128, n_rows=9, n_cols=9,
-        origin=(0.0, -15.0 * scale, 560.0), radius=52.0 * scale,
-        row_spacing=12.0 * scale, theta_span=2.2,
-    )
+def _render_views(scene_dense, stereo, n_rows, n_cols_dense, h, w, stride,
+                  distorted):
     rng = np.random.default_rng(0)
     imgs = []
-    for gp, cam in ((scene.gp1, stereo.cam1), (scene.gp2, stereo.cam2)):
+    for gp, cam in ((scene_dense.gp1, stereo.cam1), (scene_dense.gp2, stereo.cam2)):
         if distorted:
             xy = _warp_pixels(gp.xy, cam)
             shift = np.linalg.norm(
@@ -73,7 +84,10 @@ def _run_chain(h, w, distorted: bool):
             assert shift.max() > 2.0, f"warp too small ({shift.max():.2f} px)"
         else:
             xy = gp.xy
-        img = render_grid_image(xy, gp.valid, 9, 9, h, w)
+        img = render_grid_image(
+            xy, gp.valid, n_rows, n_cols_dense, h, w, col_stride=stride,
+            center_flat=(n_rows // 2) * n_cols_dense + (n_cols_dense // 2),
+        )
         imgs.append(
             jnp.clip(
                 img.astype(jnp.float32)
@@ -81,9 +95,29 @@ def _run_chain(h, w, distorted: bool):
                 0, 255,
             )
         )
+    return imgs
 
-    cfg = CylinderDetectConfig(height=h, width=w)
-    fit_cfg = FitConfig(cyl_radius=52.0 * scale)
+
+def _run_chain(h, w, distorted: bool, *, coeffs=_EXTREME, n_rows=9, n_cols=9,
+               stride=1, subpixel=False, **scene_kw):
+    """Render (optionally through the distorting camera), run the full
+    undistort -> detect -> fit chain; returns (scene, result)."""
+    stereo = _distorted_stereo(h, w, coeffs)
+    scene = cylinder_grid_points(
+        stereo, capacity=256, n_rows=n_rows, n_cols=n_cols, **scene_kw
+    )
+    ncd = (n_cols - 1) * stride + 1
+    dense = (
+        scene
+        if stride == 1
+        else cylinder_grid_points(
+            stereo, capacity=1024, n_rows=n_rows, n_cols=ncd, **scene_kw
+        )
+    )
+    imgs = _render_views(dense, stereo, n_rows, ncd, h, w, stride, distorted)
+
+    cfg = CylinderDetectConfig(height=h, width=w, subpixel_refine=subpixel)
+    fit_cfg = FitConfig(cyl_radius=scene_kw["radius"])
 
     @jax.jit
     def run(a, b):
@@ -95,10 +129,19 @@ def _run_chain(h, w, distorted: bool):
     return scene, run(imgs[0], imgs[1])
 
 
-def _detection_errors(scene, res):
+_HALF_RES = dict(
+    origin=(0.0, -15.0, 560.0), radius=52.0, row_spacing=12.0, theta_span=2.2
+)
+_FULL_RES = dict(
+    n_rows=13, n_cols=9, stride=4, subpixel=True, coeffs=_REALISTIC,
+    origin=(0.0, -20.0, 560.0), radius=52.0, row_spacing=24.0, theta_span=2.6,
+)
+
+
+def _detection_errors(scene, res, n_pts=81):
     gt = {
         tuple(np.asarray(scene.gp1.idx)[i]): np.asarray(scene.gp1.xy)[i]
-        for i in range(81)
+        for i in range(n_pts)
         if np.asarray(scene.gp1.valid)[i]
     }
     det_xy = np.asarray(res.detect1.grid.xy)
@@ -121,8 +164,8 @@ def _axis_err_deg(res, scene):
 
 def test_distorted_roundtrip_matches_zero_distortion_control():
     h, w = 240, 320
-    scene_d, res_d = _run_chain(h, w, distorted=True)
-    scene_c, res_c = _run_chain(h, w, distorted=False)
+    scene_d, res_d = _run_chain(h, w, True, **_HALF_RES)
+    scene_c, res_c = _run_chain(h, w, False, **_HALF_RES)
 
     for res in (res_d, res_c):
         assert bool(res.detect1.ok) and bool(res.detect2.ok)
@@ -154,10 +197,10 @@ def test_distorted_roundtrip_matches_zero_distortion_control():
 
 @pytest.mark.slow
 def test_distorted_roundtrip_full_resolution_absolute():
-    scene, res = _run_chain(480, 640, distorted=True)
+    scene, res = _run_chain(480, 640, True, **_FULL_RES)
     assert bool(res.detect1.ok) and bool(res.detect2.ok)
-    errs = _detection_errors(scene, res)
-    assert len(errs) >= 20
-    assert np.median(errs) < 1.5 and np.max(errs) < 4.0
+    errs = _detection_errors(scene, res, n_pts=13 * 9)
+    assert len(errs) >= 30
+    assert np.median(errs) < 0.5 and np.max(errs) < 4.0
     assert _axis_err_deg(res, scene) < 2.0
-    assert float(res.fit.mean_reproj_error) < 1.0
+    assert float(res.fit.mean_reproj_error) < 0.5
