@@ -210,3 +210,193 @@ def triangulate_dlt(xy1: np.ndarray, xy2: np.ndarray, k1, k2, t_c2_c1) -> np.nda
         x = vt[-1]
         out[i] = x[:3] / x[3]
     return out
+
+
+def project_points(pts3: np.ndarray, k, t=None) -> np.ndarray:
+    """Pinhole projection x = K [R|t] X (ref utils/projPts3.m).  pts3 (n, 3)
+    in camera-1 coordinates; ``t`` maps them into the projecting camera."""
+    p = np.asarray(pts3, np.float64)
+    if t is not None:
+        t = np.asarray(t, np.float64)
+        p = p @ t[:3, :3].T + t[:3, 3]
+    uv = p @ np.asarray(k, np.float64).T
+    return uv[:, :2] / uv[:, 2:3]
+
+
+def reprojection_errors_matlab(pts3, xy1, xy2, k1, k2, t_c2_c1) -> np.ndarray:
+    """MATLAB triangulate's reprojectionErrors output: per-point MEAN over
+    the two views of the Euclidean pixel reprojection distance (ref call
+    sites utils/chooseIdx.m:58, utils/triangulateWithThreshold.m)."""
+    e1 = np.linalg.norm(project_points(pts3, k1) - xy1, axis=1)
+    e2 = np.linalg.norm(project_points(pts3, k2, t_c2_c1) - xy2, axis=1)
+    return (e1 + e2) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# Grid correspondences (ref utils/findGridCorrespondences.m:7-21)
+# ---------------------------------------------------------------------------
+
+def find_grid_correspondences_ref(gp1: np.ndarray, gp2: np.ndarray):
+    """Literal port: gp1/gp2 are (m, 4) [x, y, x_index, y_index]; for each
+    gp1 row find the gp2 row with identical index pair (first match)."""
+    cgp1, cgp2, cgpi = [], [], []
+    for i in range(len(gp1)):
+        hits = np.where((gp2[:, 2] == gp1[i, 2]) & (gp2[:, 3] == gp1[i, 3]))[0]
+        if len(hits) == 0:
+            continue
+        cgp1.append(gp1[i, 0:2])
+        cgp2.append(gp2[hits[0], 0:2])
+        cgpi.append(gp1[i, 2:4])
+    z = np.zeros((0, 2))
+    return (
+        np.array(cgp1) if cgp1 else z,
+        np.array(cgp2) if cgp2 else z,
+        np.array(cgpi) if cgpi else z,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Patch-consensus selection (ref utils/chooseIdx.m:29-104)
+# ---------------------------------------------------------------------------
+
+def choose_idx_ref(gp1, gp2, k1, k2, t_c2_c1, patch_size=3, error_th=0.3):
+    """Literal port of chooseIdx: slide a patch_size^2 window over the
+    sorted unique grid-index values of VIEW 1 (ref :23-35 -- missing
+    rows/cols are bridged by the unique() compaction), require every cell
+    present in both views, triangulate the patch, accept if the patch's
+    MEAN reprojection error < error_th, and per point keep the candidate
+    with the lowest error across accepted patches (ref :66-86).  Falls back
+    to find_grid_correspondences_ref when nothing is accepted (ref :101-104).
+
+    Returns (point_map, used_fallback): point_map maps (ix, iy) ->
+    (xy1, xy2, error)."""
+    gp1 = np.asarray(gp1, np.float64)
+    gp2 = np.asarray(gp2, np.float64)
+    unique_x = np.sort(np.unique(gp1[:, 2]))
+    unique_y = np.sort(np.unique(gp1[:, 3]))
+    point_map = {}
+
+    def _loc(gp, pairs):
+        """ismember(pairs, gp[:, 2:4], 'rows'): first-match row or -1."""
+        out = np.full(len(pairs), -1, int)
+        for j, (ix, iy) in enumerate(pairs):
+            hits = np.where((gp[:, 2] == ix) & (gp[:, 3] == iy))[0]
+            if len(hits):
+                out[j] = hits[0]
+        return out
+
+    for ax in range(len(unique_x) - patch_size + 1):
+        for ay in range(len(unique_y) - patch_size + 1):
+            cand = [
+                (unique_x[ax + i], unique_y[ay + j])
+                for i in range(patch_size)
+                for j in range(patch_size)
+            ]
+            loc1 = _loc(gp1, cand)
+            loc2 = _loc(gp2, cand)
+            if (loc1 < 0).any() or (loc2 < 0).any():
+                continue
+            c1 = gp1[loc1, 0:2]
+            c2 = gp2[loc2, 0:2]
+            pts3 = triangulate_dlt(c1, c2, k1, k2, t_c2_c1)
+            errs = reprojection_errors_matlab(pts3, c1, c2, k1, k2, t_c2_c1)
+            if np.mean(errs) < error_th:
+                for (ix, iy), e, a, b in zip(cand, errs, c1, c2):
+                    key = (int(ix), int(iy))
+                    if key not in point_map or e < point_map[key][2]:
+                        point_map[key] = (a.copy(), b.copy(), float(e))
+    if not point_map:
+        c1, c2, ci = find_grid_correspondences_ref(gp1, gp2)
+        for a, b, (ix, iy) in zip(c1, c2, ci):
+            point_map[(int(ix), int(iy))] = (a, b, np.nan)
+        return point_map, True
+    return point_map, False
+
+
+# ---------------------------------------------------------------------------
+# Plane fit (ref utils/fitplane.m:12-15) + curvature (ref utils/estCurvatures.m)
+# ---------------------------------------------------------------------------
+
+def fitplane_ref(pts: np.ndarray) -> np.ndarray:
+    """pts (3, n) -> [nx, ny, nz, d]: smallest-eigenvector of cov(pts'),
+    offset through the centroid.  MATLAB eig on a symmetric matrix returns
+    ascending eigenvalues, so V(:, 1) is the smallest."""
+    cv = np.cov(np.asarray(pts, np.float64))     # ddof=1, like MATLAB cov
+    w, v = np.linalg.eigh(cv)
+    n = v[:, 0]
+    return np.concatenate([n, [-np.mean(n @ pts)]])
+
+
+def _create_loc_coord_sys_ref(normal: np.ndarray) -> np.ndarray:
+    z = np.asarray(normal, np.float64)
+    x = np.array([1.0, 0.0, 0.0])
+    if abs(z @ x) > 0.9:
+        x = np.array([0.0, 1.0, 0.0])
+    y = np.cross(z, x)
+    x = np.cross(y, z)
+    return np.stack([x, y, z], axis=1)
+
+
+def est_curvatures_ref(pts3: np.ndarray, k: int = 20):
+    """Literal port of estCurvatures (ref utils/estCurvatures.m:1-38):
+    knnsearch K=20 (self included), local plane fit, local frame, quadric
+    least squares, eig of [[2a, b], [b, 2c]].  pts3 (3, n); returns
+    K (3, 2, n) principal directions, L (2, n) curvature eigenvalues
+    (MATLAB eig ascending).  NOTE: the local frame here does NOT normalize
+    x/y (the reference's cross products of a unit eigenvector are already
+    unit up to rounding)."""
+    from scipy.spatial import cKDTree
+
+    pts3 = np.asarray(pts3, np.float64)
+    n = pts3.shape[1]
+    tree = cKDTree(pts3.T)
+    _, idx = tree.query(pts3.T, k=min(k, n))
+    ks = np.zeros((3, 2, n))
+    ls = np.zeros((2, n))
+    for i in range(n):
+        nb = pts3[:, idx[i]]
+        pln = fitplane_ref(nb)
+        lc = _create_loc_coord_sys_ref(pln[:3])
+        local = (nb.T - nb.T.mean(axis=0)) @ lc
+        x, y = local[:, 0], local[:, 1]
+        a = np.stack([x * x, x * y, y * y, x, y], axis=1)
+        coeffs, *_ = np.linalg.lstsq(a, local[:, 2], rcond=None)
+        shape = np.array(
+            [[coeffs[0] * 2.0, coeffs[1]], [coeffs[1], coeffs[2] * 2.0]]
+        )
+        d, v = np.linalg.eigh(shape)
+        ks[:, :, i] = lc[:, :2] @ v
+        ls[:, i] = d
+    return ks, ls
+
+
+# ---------------------------------------------------------------------------
+# Multi-frame registration objective (ref utils/fitCylinderWPts3sAngs.m:82-94)
+# ---------------------------------------------------------------------------
+
+def vec2t_ref(v: np.ndarray) -> np.ndarray:
+    """[rotvec(3), t(3)] -> 4x4 (ref utils/vec2T.m: rotvec2mat3d + t)."""
+    from scipy.spatial.transform import Rotation
+
+    v = np.asarray(v, np.float64)
+    t = np.eye(4)
+    t[:3, :3] = Rotation.from_rotvec(v[:3]).as_matrix()
+    t[:3, 3] = v[3:6]
+    return t
+
+
+def registration_dist_ref(agv_pose, t_agv_cyls, pts3s, radius) -> float:
+    """Literal port of dist() (ref utils/fitCylinderWPts3sAngs.m:82-94):
+    v = sum_f (1/n_f) * sum_i (dist(pts_f,i -> axis line of T * TAGVcyl_f)
+    - radius)^2, where the axis line runs through the transform origin along
+    its y column.  pts3s: list of (3, n_f) arrays."""
+    t = vec2t_ref(agv_pose)
+    v = 0.0
+    for t_agv_cyl_f, pts in zip(t_agv_cyls, pts3s):
+        t_c1_cyl = t @ np.asarray(t_agv_cyl_f, np.float64)
+        dy = t_c1_cyl[:3, 1]
+        p1 = t_c1_cyl[:3, 3]
+        d, _ = get_dist_pts3_to_line(np.asarray(pts, np.float64), p1, p1 + dy)
+        vi = d - radius
+        v += float(vi @ vi) / len(vi)
+    return v
