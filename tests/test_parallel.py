@@ -308,3 +308,50 @@ def test_stream_matches_batch():
     np.testing.assert_allclose(
         np.asarray(got_ov.fit.params), np.asarray(ref.fit.params), atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_stream_survives_undetectable_frames():
+    """Serving robustness: a stream containing frames with no grid at all
+    (dark noise) must flow through -- failed frames come back ok=False /
+    healthy=False with finite summaries, and the good frames around them are
+    unaffected (per-frame isolation, SURVEY.md §5 degraded modes; the
+    reference's per-image try/except at
+    python_grid_detection_cylinder.py:32-44 is the analogue)."""
+    from cylinder_pose_estimation_tpu.models.pipeline import (
+        estimate_poses_batch,
+        estimate_poses_stream,
+    )
+
+    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0, baseline=30.0)
+    i1, i2 = _frames(stereo, 4)
+    rng = np.random.default_rng(3)
+    dark1 = np.clip(rng.normal(8, 3, (1, H, W)), 0, 255).astype(np.float32)
+    dark2 = np.clip(rng.normal(8, 3, (1, H, W)), 0, 255).astype(np.float32)
+    j1 = np.concatenate([i1[:2], dark1, i1[2:]])
+    j2 = np.concatenate([i2[:2], dark2, i2[2:]])
+
+    cfg = CylinderDetectConfig(height=H, width=W, cc_iters=8, min_ok_points=5)
+    fit_cfg = FitConfig(cyl_radius=55.0, lm_iters=20)
+
+    smry = estimate_poses_stream(
+        j1, j2, stereo, cfg, fit_cfg, chunk=2, compact=True, overlap=True
+    )
+    ok = np.asarray(smry.ok)
+    assert not ok[2], "dark frame must not report a detected grid"
+    assert not bool(np.asarray(smry.healthy)[2])
+    # every summary leaf stays finite even for the failed frame
+    for leaf in [smry.params, smry.t_cam_cyl, smry.mean_reproj_error]:
+        assert np.all(np.isfinite(np.asarray(leaf))), "non-finite summary leaf"
+    # neighbours are bit-identical to the same frames run without the dark
+    # frame present (chunking isolation: frame k's result depends only on
+    # frame k)
+    ref = jax.jit(
+        lambda a, b: estimate_poses_batch(a, b, stereo, cfg, fit_cfg)
+    )(i1, i2)
+    good_rows = [0, 1, 3, 4]
+    np.testing.assert_allclose(
+        np.asarray(smry.params)[good_rows],
+        np.asarray(ref.fit.params),
+        atol=1e-5,
+    )
