@@ -25,7 +25,14 @@ Measurement protocol (honest under the axon tunnel):
     polluting the per-frame number;
   * timing is synced by materializing outputs on the host;
   * the "stages" dict reports the detect-only ms/frame (both views) measured
-    the same way; fit = end_to_end - detect.
+    the same way; fit = end_to_end - detect, where BOTH programs force their
+    complete output pytree into the carry (every leaf of every DetectResult /
+    StereoPoseResult).  Earlier probes forced only grid.xy / fit params, so
+    XLA dead-code-eliminated the indexing tail (center brightness, ids,
+    stability diagnostics) out of the detect-only program and the subtraction
+    over-attributed that work to "fit" (NEXT.md job 013); with both programs
+    fully forced, the shared detect subgraph is identical and the difference
+    is the correspond->triangulate->fit section plus nothing else.
 """
 
 import json
@@ -58,12 +65,18 @@ def main() -> None:
     detect_cfg = CylinderDetectConfig(height=height, width=width, use_pallas=True)
     fit_cfg = FitConfig()
 
+    def _force(tree):
+        """Reduce EVERY leaf to a scalar so nothing in the program is DCE'd."""
+        return sum(
+            jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(tree)
+        )
+
     def step(a, b, k):
         res = estimate_poses_batch(a + k, b + k, stereo, detect_cfg, fit_cfg)
-        return res.fit.params.sum() + res.fit.mean_reproj_error.sum()
+        return _force(res)
 
     def step_detect(a, b, k):
-        det = jax.vmap(lambda im: detect_grid(im, detect_cfg).grid.xy.sum())
+        det = jax.vmap(lambda im: _force(detect_grid(im, detect_cfg)))
         return det(a + k).sum() + det(b + k).sum()
 
     # 32 in-jit repetitions: the tunnel's per-call dispatch+readback floor
@@ -105,6 +118,11 @@ def main() -> None:
                     "detect_ms_per_frame_2views": round(spf_detect * 1e3, 3),
                     "fit_ms_per_frame": round((spf - spf_detect) * 1e3, 3),
                     "end_to_end_ms_per_frame": round(spf * 1e3, 3),
+                    "method": (
+                        "both programs force their FULL output pytree "
+                        "(no DCE of the indexing tail); fit = e2e - detect "
+                        "over the shared, identical detect subgraph"
+                    ),
                 },
             }
         )
