@@ -34,19 +34,21 @@ from cylinder_pose_estimation_tpu.utils.synthetic import (
     render_grid_image,
 )
 
-H, W = 240, 320
+H, W = 192, 256
 N_FRAMES = 12
 CHUNK = 4
 
 # --- a synthetic "camera feed": unique scenes rendered to uint8 frames ----
-stereo = default_stereo(cx=W / 2.0, cy=H / 2.0)
+# (geometry mirrors tests/test_parallel._frames: the cylinder stays fully
+# visible in both miniature views, so every frame detects)
+stereo = default_stereo(cx=W / 2.0, cy=H / 2.0, baseline=30.0)
 render = jax.jit(render_grid_image, static_argnums=(2, 3, 4, 5))
 frames1, frames2 = [], []
 rng = np.random.default_rng(0)
 for k in range(N_FRAMES):
     scene = cylinder_grid_points(
-        stereo, origin=(4.0 * (k % 5), -20.0, 420.0), radius=55.0,
-        row_spacing=14.0, theta_span=1.8, capacity=128, seed=k,
+        stereo, origin=(3.0 * (k % 5) - 6.0, -8.0, 360.0), radius=55.0,
+        row_spacing=7.0, theta_span=1.1, capacity=128, seed=k,
     )
     for gp, out in ((scene.gp1, frames1), (scene.gp2, frames2)):
         img = np.asarray(render(gp.xy, gp.valid, 9, 9, H, W), np.float32)
