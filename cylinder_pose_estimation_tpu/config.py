@@ -225,16 +225,26 @@ class DetectConfig:
                                  # rounds replace pallas_cc_rounds.  No-op on
                                  # the XLA path and when bridge_endpoint_stats
                                  # provides no label image.
-    pallas_cc_rounds_warm: int = 1  # final-CC rounds under cc_warm_start:
+    pallas_cc_rounds_warm: int = 2  # final-CC rounds under cc_warm_start:
                                  # prebridge(2) + warm(N) total propagation
                                  # depth must cover what cold-start needed 3
                                  # rounds for, PLUS flooding across newly
-                                 # bridged joins.  One round suffices because
-                                 # each round's full-row/col segmented scans
-                                 # traverse every bridge along a line in one
-                                 # pass; A/B on TPU (job 022): warm1 ==
-                                 # converged cold8 == XLA exactly on all 16
-                                 # bench scenes, 0.751 -> 0.725 ms/frame.
+                                 # bridged joins.  warm=1 was shipped in r2/r3
+                                 # on the claim that one round's full-row/col
+                                 # segmented scans traverse every bridge in a
+                                 # single pass -- validated only on the 16
+                                 # bench scenes, where bridging is a NO-OP
+                                 # (vacuous for exactly the case warm rounds
+                                 # must survive).  Round 4's rendered line-gap
+                                 # scene (tests/test_detector_hardening.py::
+                                 # test_rendered_line_gap_bridged_on_pallas_
+                                 # interpret) caught it: a bridged VERTICAL
+                                 # line's connecting path jogs a column, so
+                                 # one column scan cannot carry the label
+                                 # through -- warm1 left the line split in two
+                                 # labels (duplicate grid columns), warm2 ==
+                                 # cold3 == XLA exactly.  Cost of the extra
+                                 # round: ~0.02 ms/frame.
     pallas_interpret: bool = False  # interpreter mode (for CPU validation)
     bridge_half_res: bool = True  # run the ENTIRE bridge (stats + endpoint
                                  # probes + oriented dilation) at label

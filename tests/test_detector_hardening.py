@@ -413,3 +413,117 @@ def test_joint_peaks_unique_on_large_images():
     assert peak[600:603, 100:103].sum() == 1
     assert peak[700:705, 900:905].sum() == 1
     assert peak[760:762, 1000:1002].sum() == 1
+
+
+# ---------------------------------------------------------------------------
+# End-to-end line-gap bridging on a RENDERED scene (round-4 stress corpus:
+# the mask-level bridge tests above can't see whether the full chain --
+# ridge -> binarize -> carve -> bridge -> label -> polyfit -> intersect --
+# actually recovers a grid whose laser line has a dropout)
+# ---------------------------------------------------------------------------
+
+
+def _gapped_scene(gap=None, seed=3):
+    """Rendered cylinder-grid image with an optional laser dropout band
+    (rows y0:y1, cols x0:x1 damped to background).  Returns (img, scene)."""
+    stereo = _small_stereo()
+    scene = cylinder_grid_points(
+        stereo, origin=(0.0, -10.0, 420.0), radius=55.0,
+        row_spacing=12.0, theta_span=1.6, capacity=128, seed=seed,
+    )
+    img = np.asarray(
+        render_grid_image(scene.gp1.xy, scene.gp1.valid, 9, 9, H, W),
+        np.float32,
+    )
+    rng = np.random.default_rng(seed)
+    img = img + rng.normal(0, 2.0, (H, W)).astype(np.float32)
+    if gap is not None:
+        # smooth attenuation (sigmoid taper over ~3 px): a hard-edged
+        # rectangle would manufacture step-edge ridge responses the real
+        # fading laser dropout does not have
+        y0, y1, x0, x1 = gap
+        yy = np.arange(H, dtype=np.float32)[:, None]
+        xx = np.arange(W, dtype=np.float32)[None, :]
+        def edge(v, lo, hi):
+            return 1.0 / (1.0 + np.exp(-(v - lo) / 1.5)) * \
+                   1.0 / (1.0 + np.exp((v - hi) / 1.5))
+        atten = 1.0 - 0.97 * edge(yy, y0, y1) * edge(xx, x0, x1)
+        img = img * atten
+    return np.clip(img, 0, 255), scene
+
+
+def _id_map(det):
+    xy = np.asarray(det.grid.xy)
+    idx = np.asarray(det.grid.idx)
+    v = np.asarray(det.grid.valid)
+    return {
+        tuple(idx[i]): xy[i] for i in range(len(v)) if v[i]
+    }
+
+
+def test_rendered_line_gap_is_bridged_end_to_end():
+    """A 18-px dropout across one horizontal laser line must not split the
+    grid: detect_grid on the damaged image recovers the same ids as the
+    intact control for every intersection outside the damaged band, at the
+    same pixel positions (ref expands_line_roi utils/util_cylinder.py:137-237
+    is the recipe this validates through the WHOLE chain)."""
+    cfg = CylinderDetectConfig(height=H, width=W)
+    img0, scene = _gapped_scene(gap=None)
+    ctl = detect_grid(jnp.asarray(img0), cfg)
+    assert bool(ctl.ok)
+    ids0 = _id_map(ctl)
+
+    # place the gap on the control's grid: between two detected columns of
+    # the row one above the origin row
+    ys = sorted({round(float(xy[1])) for xy in ids0.values()})
+    y_mid = ys[len(ys) // 2]
+    img1, _ = _gapped_scene(gap=(y_mid - 9, y_mid + 9, 150, 168))
+    det = detect_grid(jnp.asarray(img1), cfg)
+    assert bool(det.ok), "gap must not kill detection"
+    ids1 = _id_map(det)
+
+    # every control intersection outside the dropout must reappear with the
+    # same id; points ON the damaged row get a looser position tolerance
+    # (their row polynomial is fit across an 18-px hole -- a ~2 px local
+    # pull from the straight bridged segment is legitimate), everything
+    # else must sit within 1.5 px
+    kept = checked = 0
+    for key, xy in ids0.items():
+        if abs(xy[1] - y_mid) < 12 and 138 <= xy[0] <= 180:
+            continue  # inside / adjacent to the dropout
+        on_damaged_row = abs(xy[1] - y_mid) < 12
+        tol = 3.0 if on_damaged_row else 1.5
+        checked += 1
+        if key in ids1 and np.linalg.norm(ids1[key] - xy) < tol:
+            kept += 1
+    assert checked >= 20, f"degenerate control scene ({checked})"
+    assert kept == checked, (
+        f"only {kept}/{checked} intersections survived the line gap "
+        f"with consistent ids"
+    )
+
+
+def test_rendered_line_gap_bridged_on_pallas_interpret():
+    """The same end-to-end dropout scene through the Pallas kernels
+    (interpret mode, CPU-runnable): the fused bridge kernel must reconnect
+    the damaged line exactly like the XLA chain."""
+    cfg_x = CylinderDetectConfig(height=H, width=W)
+    cfg_p = CylinderDetectConfig(
+        height=H, width=W, use_pallas=True, pallas_interpret=True
+    )
+    img0, _ = _gapped_scene(gap=None)
+    ctl = detect_grid(jnp.asarray(img0), cfg_x)
+    ids0 = _id_map(ctl)
+    ys = sorted({round(float(xy[1])) for xy in ids0.values()})
+    y_mid = ys[len(ys) // 2]
+    img1, _ = _gapped_scene(gap=(y_mid - 9, y_mid + 9, 150, 168))
+
+    det_x = detect_grid(jnp.asarray(img1), cfg_x)
+    det_p = detect_grid(jnp.asarray(img1), cfg_p)
+    ids_x = _id_map(det_x)
+    ids_p = _id_map(det_p)
+    assert set(ids_p) == set(ids_x)
+    for key in ids_x:
+        assert np.linalg.norm(ids_p[key] - ids_x[key]) < 0.75, (
+            key, ids_p[key], ids_x[key]
+        )

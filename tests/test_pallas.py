@@ -253,17 +253,20 @@ def test_connected_components_warm_start():
 def test_warm_start_converges_at_shipped_defaults():
     """Regression gate for the SHIPPED warm-start round counts: the detector
     runs prebridge CC at pallas_cc_rounds_prebridge=2 and the final labels CC
-    at pallas_cc_rounds_warm=1, pools=2 (config.py defaults).  On bridged
-    near-axis line masks (the geometry the defaults were validated on, TPU
-    A/B job 022) the warm single round must already be at the cold fixpoint.
-    Steep-diagonal staircases do NOT converge at these counts -- that is the
-    documented instability (NEXT.md job 019) handled by the labels_converged
-    flag, not by this gate."""
+    at pallas_cc_rounds_warm=2, pools=2 (config.py defaults).  On bridged
+    near-axis line masks the warm rounds must reach the cold fixpoint.
+    (Round 4 raised warm 1 -> 2: a bridged join that jogs a row/column needs
+    a second scan direction to carry the label through -- warm1 left a
+    reconnected vertical line split in two labels on the rendered line-gap
+    scene; this synthetic mask converges even at warm1, which is exactly why
+    it alone was an insufficient gate.)  Steep-diagonal staircases do NOT
+    converge at these counts -- that is the documented instability (NEXT.md
+    job 019) handled by the labels_converged flag, not by this gate."""
     from cylinder_pose_estimation_tpu.config import CylinderDetectConfig
 
     cfg = CylinderDetectConfig()
     assert cfg.pallas_cc_rounds_prebridge == 2
-    assert cfg.pallas_cc_rounds_warm == 1
+    assert cfg.pallas_cc_rounds_warm == 2
     assert cfg.pallas_cc_pools == 2
 
     rng = np.random.default_rng(7)
