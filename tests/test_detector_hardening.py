@@ -527,3 +527,98 @@ def test_rendered_line_gap_bridged_on_pallas_interpret():
         assert np.linalg.norm(ids_p[key] - ids_x[key]) < 0.75, (
             key, ids_p[key], ids_x[key]
         )
+
+
+def test_rendered_double_gap_both_paths_agree():
+    """Two dropout bands (one crossing a horizontal line, one crossing a
+    vertical line elsewhere) -- the stress shape that caught the warm-start
+    under-convergence (config.pallas_cc_rounds_warm history): both backends
+    must still agree exactly after bridging both joins."""
+    cfg_x = CylinderDetectConfig(height=H, width=W)
+    cfg_p = CylinderDetectConfig(
+        height=H, width=W, use_pallas=True, pallas_interpret=True
+    )
+    img0, _ = _gapped_scene(gap=None, seed=8)
+    ctl = detect_grid(jnp.asarray(img0), cfg_x)
+    assert bool(ctl.ok)
+    ids0 = _id_map(ctl)
+    ys = sorted({round(float(xy[1])) for xy in ids0.values()})
+    xs = sorted({round(float(xy[0])) for xy in ids0.values()})
+    y_a = ys[len(ys) // 3]
+    x_b = xs[2 * len(xs) // 3]
+
+    img1, _ = _gapped_scene(gap=(y_a - 8, y_a + 8, 95, 112), seed=8)
+    # apply the second dropout on top (vertical-line cut away from the first)
+    rng = np.random.default_rng(99)
+    yy = np.arange(H, dtype=np.float32)[:, None]
+    xx = np.arange(W, dtype=np.float32)[None, :]
+
+    def edge(v, lo, hi):
+        return 1.0 / (1.0 + np.exp(-(v - lo) / 1.5)) * \
+               1.0 / (1.0 + np.exp((v - hi) / 1.5))
+
+    atten = 1.0 - 0.97 * edge(yy, ys[-2] - 8, ys[-2] + 8) * \
+        edge(xx, x_b - 9, x_b + 9)
+    img1 = np.clip(img1 * atten, 0, 255)
+
+    det_x = detect_grid(jnp.asarray(img1), cfg_x)
+    det_p = detect_grid(jnp.asarray(img1), cfg_p)
+    assert bool(det_x.ok) and bool(det_p.ok)
+    ids_x = _id_map(det_x)
+    ids_p = _id_map(det_p)
+    assert len(ids_x) >= 15, f"double gap shredded the grid ({len(ids_x)})"
+    assert set(ids_p) == set(ids_x)
+    for key in ids_x:
+        assert np.linalg.norm(ids_p[key] - ids_x[key]) < 0.75
+
+
+def test_rendered_gap_on_tilted_grid_both_paths_agree():
+    """Line gap on a ~10 deg tilted grid (inside the stable band): bridging
+    along a genuinely oblique line direction must stay backend-exact --
+    oblique joins jog rows AND columns, the worst case for the warm-start
+    propagation depth."""
+    from cylinder_pose_estimation_tpu.utils.synthetic import render_grid_image
+
+    t = np.radians(10.0)
+    r = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+    ij = np.mgrid[0:9, 0:9].astype(np.float64) - 4.0
+    local = np.stack([ij[1], ij[0]], axis=-1).reshape(-1, 2) * 22.0
+    xy = jnp.asarray(local @ r.T + np.array([W / 2.0, H / 2.0]), jnp.float32)
+    img = np.asarray(
+        render_grid_image(xy, jnp.ones(81, bool), 9, 9, H, W), np.float32
+    )
+    rng = np.random.default_rng(5)
+    img = img + rng.normal(0, 2.0, (H, W)).astype(np.float32)
+    # dropout across the central area (cuts a tilted line)
+    yy = np.arange(H, dtype=np.float32)[:, None]
+    xx = np.arange(W, dtype=np.float32)[None, :]
+
+    def edge(v, lo, hi):
+        return 1.0 / (1.0 + np.exp(-(v - lo) / 1.5)) * \
+               1.0 / (1.0 + np.exp((v - hi) / 1.5))
+
+    atten = 1.0 - 0.97 * edge(yy, 88, 104) * edge(xx, 190, 208)
+    img = np.clip(img * atten, 0, 255)
+
+    cfg_x = CylinderDetectConfig(height=H, width=W)
+    cfg_p = CylinderDetectConfig(
+        height=H, width=W, use_pallas=True, pallas_interpret=True
+    )
+    det_x = detect_grid(jnp.asarray(img), cfg_x)
+    det_p = detect_grid(jnp.asarray(img), cfg_p)
+    assert bool(det_x.ok) and bool(det_x.stable)
+    ids_x = _id_map(det_x)
+    ids_p = _id_map(det_p)
+    assert len(ids_x) >= 30
+    assert set(ids_p) == set(ids_x)
+    # Oblique joins rasterize a pixel differently between the backends
+    # (dynamic-roll vs pad-shift rounding along a 10 deg line), and the
+    # whole polynomial of the line crossing the gap refits over those
+    # differing bridged pixels -- so points along that one line move up to
+    # ~2 px while the rest of the grid stays sub-pixel identical.  The
+    # invariant: exact id agreement, sub-pixel bulk, bounded worst case.
+    deltas = np.array([
+        np.linalg.norm(ids_p[key] - ids_x[key]) for key in ids_x
+    ])
+    assert np.median(deltas) < 0.3, np.median(deltas)
+    assert deltas.max() < 3.0, deltas.max()
