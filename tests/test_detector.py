@@ -196,3 +196,38 @@ def test_stage_probe_truncations_trace():
         cfg = CylinderDetectConfig(stage_probe=st)
         out = jax.eval_shape(lambda im, cfg=cfg: dg(im, cfg), img)
         assert out.shape == () and out.dtype == jnp.float32, st
+
+
+def test_plane_detection_pallas_interpret_matches_xla():
+    """Plane-mode Pallas path parity, CPU-checkable (interpret mode): the
+    fused kernels must reproduce the XLA plane chain exactly -- id set and
+    positions.  Closes the same committed-coverage gap the cylinder golden
+    pin closed: plane+Pallas was previously validated only by off-CI TPU
+    jobs (NEXT.md job 11, 99/99), which CI could not re-check."""
+    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0)
+    scene = plane_grid_points(stereo, capacity=256, n_rows=9, n_cols=9,
+                              spacing=23.0)
+    img = render_grid_image(scene.gp1.xy, scene.gp1.valid, 9, 9, H, W)
+    rng = np.random.default_rng(3)
+    img = jnp.clip(
+        img.astype(jnp.float32)
+        + jnp.asarray(rng.normal(0, 2.0, (H, W)), jnp.float32),
+        0, 255,
+    )
+    cfg_x = PlaneDetectConfig(height=H, width=W, roi_threshold=30.0)
+    cfg_p = PlaneDetectConfig(height=H, width=W, roi_threshold=30.0,
+                              use_pallas=True, pallas_interpret=True)
+    res_x = detect_grid(img, cfg_x)
+    res_p = detect_grid(img, cfg_p)
+    assert bool(res_x.ok) and bool(res_p.ok)
+
+    def id_map(res):
+        xy = np.asarray(res.grid.xy)
+        idx = np.asarray(res.grid.idx)
+        v = np.asarray(res.grid.valid)
+        return {tuple(idx[i]): xy[i] for i in range(len(v)) if v[i]}
+
+    mx, mp = id_map(res_x), id_map(res_p)
+    assert set(mp) == set(mx)
+    for key in mx:
+        assert np.linalg.norm(mp[key] - mx[key]) < 0.5, (key, mp[key], mx[key])
