@@ -76,8 +76,13 @@ def main() -> None:
         return _force(res)
 
     def step_detect(a, b, k):
+        # SAME structure as estimate_poses_batch's detect section (one
+        # (2F,)-batch vmap over the concatenated views, pipeline.py:95-97):
+        # two (F,) vmaps would pay ~2x the per-frame launch overhead on the
+        # launch-bound detector and bias the e2e - detect subtraction.
+        both = jnp.concatenate([a + k, b + k], axis=0)
         det = jax.vmap(lambda im: _force(detect_grid(im, detect_cfg)))
-        return det(a + k).sum() + det(b + k).sum()
+        return det(both).sum()
 
     # 32 in-jit repetitions: the tunnel's per-call dispatch+readback floor
     # (measured drifting 5-30 ms/call) amortizes to < 0.06 ms/frame at B=16,

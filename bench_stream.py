@@ -28,23 +28,32 @@ import numpy as np
 class _TiledFrames:
     """Virtual (N, H, W) uint8 array: a unique-scene pool tiled to N frames
     with a deterministic per-frame brightness offset (breaks input-identity
-    caching; detection is insensitive to a +0..6 gray offset)."""
+    caching; detection is insensitive to a +0..6 gray offset).
+
+    The 7 brightness variants are precomputed ONCE (saturating add in int16:
+    the renderer clips the center blob at exactly 255, so a uint8 add would
+    wrap saturated pixels to 0..5 and corrupt the brightest-joint origin --
+    round-3 advisor finding).  __getitem__ is then a single fancy-index copy:
+    the widen+clip per chunk cost ~3 s of host time on this VM, dwarfing the
+    0.08 s of TPU compute it was feeding."""
+
+    N_OFFSETS = 7
 
     def __init__(self, pool: np.ndarray, n: int):
-        self.pool = pool
         self.n = n
+        self.n_pool = len(pool)
+        wide = pool.astype(np.int16)[None] + np.arange(
+            self.N_OFFSETS, dtype=np.int16
+        )[:, None, None, None]
+        self.variants = np.clip(wide, 0, 255).astype(np.uint8)  # (7, P, H, W)
 
     @property
     def shape(self):
-        return (self.n,) + self.pool.shape[1:]
+        return (self.n,) + self.variants.shape[2:]
 
     def __getitem__(self, sl):
         idx = np.arange(*sl.indices(self.n))
-        out = self.pool[idx % len(self.pool)].astype(np.int16)
-        # saturating add: the renderer clips the center blob at exactly 255,
-        # so a uint8 add would wrap saturated pixels to 0..5 and corrupt the
-        # brightest-joint origin (round-3 advisor finding)
-        return np.clip(out + idx[:, None, None] % 7, 0, 255).astype(np.uint8)
+        return self.variants[idx % self.N_OFFSETS, idx % self.n_pool]
 
 
 def main() -> None:
@@ -82,12 +91,24 @@ def main() -> None:
     imgs1 = _TiledFrames(pool1, args.frames)
     imgs2 = _TiledFrames(pool2, args.frames)
 
-    # Warm the compile on one chunk-shaped call (not counted).
-    warm1 = _TiledFrames(pool1, args.chunk)
-    warm2 = _TiledFrames(pool2, args.chunk)
+    # Warm the compile on one chunk-shaped call (not counted).  Slice the
+    # pool first: _TiledFrames precomputes brightness variants of its WHOLE
+    # pool, and the warm call only ever reads frames [0, chunk).
+    warm1 = _TiledFrames(pool1[: args.chunk], args.chunk)
+    warm2 = _TiledFrames(pool2[: args.chunk], args.chunk)
     estimate_poses_stream(
         warm1, warm2, stereo, cfg, fit_cfg, chunk=args.chunk, compact=True
     )
+
+    # In-run host-link H2D bandwidth (BLOCKED transfer: async dispatch alone
+    # reads ~30 ms for any size and is meaningless).  The axon tunnel is a
+    # WAN link whose bandwidth drifts 6-16 MB/s by time of day; a real TPU
+    # host feeds its chips over PCIe/DMA at GB/s, so the end-to-end number
+    # below is a property of this dev link, not of the framework.
+    probe = imgs1[slice(0, args.chunk)]
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(probe))
+    bw = probe.nbytes / (time.perf_counter() - t0) / 1e6
 
     t0 = time.perf_counter()
     res = estimate_poses_stream(
@@ -99,7 +120,9 @@ def main() -> None:
     ok = np.asarray(res.ok)
     n_ok = int(ok.sum())
     errs = np.asarray(res.mean_reproj_error)
-    reproj = float(np.median(errs[ok])) if n_ok else float("nan")
+    # None (JSON null), not NaN: json.dump would emit the non-standard
+    # token `NaN` and break strict consumers of the benchmark artifact
+    reproj = round(float(np.median(errs[ok])), 4) if n_ok else None
     mem = None
     try:
         stats = jax.devices()[0].memory_stats()
@@ -108,6 +131,8 @@ def main() -> None:
     except Exception:
         pass
 
+    bytes_per_frame = 2 * height * width  # stereo uint8, the camera wire format
+    link_bound_fps = bw * 1e6 / bytes_per_frame
     out = {
         "metric": "stream_frames_per_sec_10k",
         "value": round(fps, 2),
@@ -116,13 +141,20 @@ def main() -> None:
         "chunk": args.chunk,
         "wall_s": round(dt, 2),
         "ok_frames": n_ok,
-        "median_reproj_px": round(reproj, 4),
+        "median_reproj_px": reproj,
         "hbm_peak_bytes": mem,
+        "link_h2d_mb_s": round(bw, 2),
+        "link_bound_fps": round(link_bound_fps, 2),
+        "link_efficiency": round(fps / link_bound_fps, 3),
         "note": (
             "full host loop wall clock: uint8 H2D + batched detect->fit "
-            "compute + host readback per chunk; double-buffered (overlap="
-            "True) with on-device compact pose summaries (~200 B/frame "
-            "D2H); device memory O(chunk)"
+            "compute + host readback per chunk; three-deep pipeline "
+            "(uploader thread || compute+async D2H || materialize); device "
+            "memory O(chunk).  The axon tunnel's H2D bandwidth (measured "
+            "in-run, blocked transfer) is the physical ceiling: "
+            "link_bound_fps = bandwidth / (2*H*W bytes per stereo frame); "
+            "link_efficiency is how close the loop runs to that ceiling.  "
+            "TPU compute sustains ~1400 fps on resident frames (BENCH_rNN)."
         ),
     }
     print(json.dumps(out))

@@ -225,7 +225,10 @@ def fit_cylinders_with_angles(
     lever = jnp.sqrt(
         jnp.sum(w_all * jnp.sum((pts3s - ctr) ** 2, axis=-1)) / n_all
     )
-    jac = jac.at[:, :3].divide(jnp.maximum(lever, 1.0))
+    # Guard only against a truly degenerate (empty/single-point) cloud:
+    # clamping at 1.0 would silently disable the unit invariance for
+    # scenes measured in meters (lever ~ 0.3 for a 300 mm scene in m).
+    jac = jac.at[:, :3].divide(jnp.maximum(lever, 1e-6))
     jtj = mm(jac.T, jac)
     f_used = jnp.maximum(
         jnp.sum(jnp.any(valid, axis=-1)).astype(jtj.dtype), 1.0

@@ -1630,12 +1630,17 @@ def detect_grid(
     # raw coords by a zero mask first (0 * nan = nan).
     xy_flat = jnp.stack([xi, yi], axis=-1).reshape(n, 2)
     accept_flat = accept.reshape(n)
+    # center needs the same finite-placeholder guard as xy: with zero
+    # accepted intersections the argmax over an all -inf brightness picks
+    # slot (0, 0), whose raw xi/yi may hold a diverged-Newton inf/nan --
+    # and StreamPoseSummary ships grid.center for ok=False frames too.
+    center_ok = accept[c_r, c_c]
     grid = GridPoints(
         xy=jnp.where(accept_flat[:, None], xy_flat, 0.0),
         idx=ids.reshape(n, 2).astype(jnp.int32),
         valid=accept_flat,
-        center=jnp.stack(
-            [xi[c_r, c_c], yi[c_r, c_c]]
+        center=jnp.where(
+            center_ok, jnp.stack([xi[c_r, c_c], yi[c_r, c_c]]), 0.0
         ),
     )
     # Fit feasibility: the downstream curvature-seeded fit needs ~knn_k
