@@ -11,7 +11,17 @@ z = a x^2 + b xy + c y^2 + d x + e y, eig of the shape matrix
   * quadric: one batched (N, 5, 5) normal-equations solve;
   * shape eig: closed-form 2x2.
 
-Deviation from the reference, on purpose: the reference takes K(:, 1, i) --
+Deviations from the reference, on purpose:
+
+  * The local frame is NORMALIZED here.  The reference's createLocCoordSys
+    (ref utils/estCurvatures.m:20-29) builds x/y columns of norm
+    s = |cross(normal, x_seed)| <= 1, which scales its curvature
+    eigenvalues by 1/s^2 -- a coordinate artifact that varies with the
+    plane normal's orientation to the axes (directions are unaffected).
+    The oracle parity test corrects for it explicitly
+    (tests/test_reference_oracle.py::test_est_curvatures_matches_reference).
+
+  * The reference takes K(:, 1, i) --
 the eigenvector of the *ascending-ordered* MATLAB eig -- as the cylinder-axis
 direction (ref utils/fitCylinderWPts3.m:29).  That ordering only selects the
 axis when the fitted normal happens to orient the nonzero curvature positive;
