@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import time
 
 import numpy as np
@@ -30,30 +31,42 @@ class _TiledFrames:
     with a deterministic per-frame brightness offset (breaks input-identity
     caching; detection is insensitive to a +0..6 gray offset).
 
-    The 7 brightness variants are precomputed ONCE (saturating add in int16:
-    the renderer clips the center blob at exactly 255, so a uint8 add would
-    wrap saturated pixels to 0..5 and corrupt the brightest-joint origin --
-    round-3 advisor finding).  __getitem__ is then a single fancy-index copy:
-    the widen+clip per chunk cost ~3 s of host time on this VM, dwarfing the
-    0.08 s of TPU compute it was feeding."""
+    Frame i is pool[i % P] + (i % 7), which is periodic with period
+    lcm(7, P) -- so ONE (period, H, W) arrangement is precomputed
+    (saturating add in int16: the renderer clips the center blob at exactly
+    255, so a uint8 add would wrap saturated pixels to 0..5 and corrupt the
+    brightest-joint origin -- round-3 advisor finding) and __getitem__
+    serves chunks as zero-copy contiguous views (a two-piece
+    concatenate only when a chunk straddles the period boundary).  The earlier
+    per-chunk widen+clip cost ~3 s of host time per chunk on this VM
+    (dwarfing the 0.08 s of TPU compute it fed), and even the fancy-index
+    variant gather became a co-bottleneck once the host link sped up."""
 
     N_OFFSETS = 7
 
     def __init__(self, pool: np.ndarray, n: int):
         self.n = n
-        self.n_pool = len(pool)
-        wide = pool.astype(np.int16)[None] + np.arange(
-            self.N_OFFSETS, dtype=np.int16
-        )[:, None, None, None]
-        self.variants = np.clip(wide, 0, 255).astype(np.uint8)  # (7, P, H, W)
+        p = len(pool)
+        period = p * self.N_OFFSETS // math.gcd(p, self.N_OFFSETS)
+        idx = np.arange(period)
+        wide = pool[idx % p].astype(np.int16) + (idx % self.N_OFFSETS)[
+            :, None, None
+        ].astype(np.int16)
+        self.arrangement = np.clip(wide, 0, 255).astype(np.uint8)
 
     @property
     def shape(self):
-        return (self.n,) + self.variants.shape[2:]
+        return (self.n,) + self.arrangement.shape[1:]
 
     def __getitem__(self, sl):
-        idx = np.arange(*sl.indices(self.n))
-        return self.variants[idx % self.N_OFFSETS, idx % self.n_pool]
+        start, stop, _ = sl.indices(self.n)
+        ln = stop - start
+        per = len(self.arrangement)
+        s0 = start % per
+        if s0 + ln <= per:
+            return self.arrangement[s0 : s0 + ln]  # zero-copy view
+        head = self.arrangement[s0:]
+        return np.concatenate([head, self.arrangement[: ln - len(head)]])
 
 
 def main() -> None:

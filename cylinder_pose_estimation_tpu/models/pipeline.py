@@ -149,7 +149,7 @@ def _summarize_batch(
 _STREAM_STEP_CACHE: dict = {}
 
 
-def _stream_step(stereo, detect_cfg, fit_cfg, reg_cfg, compact):
+def _stream_step(stereo, detect_cfg, fit_cfg, reg_cfg, compact, mesh=None):
     """One compiled chunk step, cached across estimate_poses_stream calls.
 
     Rebuilding ``jax.jit`` per call would retrace + re-lower the whole
@@ -175,7 +175,8 @@ def _stream_step(stereo, detect_cfg, fit_cfg, reg_cfg, compact):
     # reg_cfg only reaches the program through _summarize_batch's
     # frame_health call, so compact=False programs are byte-identical
     # across reg_cfg values -- keep them one cache entry.
-    key = (detect_cfg, fit_cfg, reg_cfg if compact else None, compact, fp)
+    key = (detect_cfg, fit_cfg, reg_cfg if compact else None, compact, fp,
+           mesh)
     step = _STREAM_STEP_CACHE.get(key)
     if step is None:
         while len(_STREAM_STEP_CACHE) >= 16:
@@ -186,7 +187,19 @@ def _stream_step(stereo, detect_cfg, fit_cfg, reg_cfg, compact):
             batch = estimate_poses_batch(a, b, stereo, detect_cfg, fit_cfg)
             return _summarize_batch(batch, reg_cfg) if compact else batch
 
-        step = jax.jit(_step)
+        if mesh is None:
+            step = jax.jit(_step)
+        else:
+            # Multi-chip serving: shard each chunk's frame axis over the
+            # mesh (GSPMD -- the detect->fit chain is embarrassingly
+            # frame-parallel, so XLA inserts no collectives; every output
+            # leaf is frame-leading and comes back frame-sharded).
+            from cylinder_pose_estimation_tpu.parallel.mesh import (
+                frame_sharding,
+            )
+
+            fs = frame_sharding(mesh)
+            step = jax.jit(_step, in_shardings=(fs, fs), out_shardings=fs)
         _STREAM_STEP_CACHE[key] = step
     return step
 
@@ -201,6 +214,7 @@ def estimate_poses_stream(
     compact: bool = False,
     overlap: bool = True,
     reg_cfg: RegistrationConfig = RegistrationConfig(),
+    mesh=None,
 ):
     """Bounded-device-memory estimate_poses_batch for long sequences.
 
@@ -228,6 +242,15 @@ def estimate_poses_stream(
     Steady-state wall per chunk is now max(upload, prep, compute + readback):
     link-bound when the host link is the bottleneck, compute-bound otherwise.
 
+    ``mesh`` (optional ``jax.sharding.Mesh``): multi-chip serving -- each
+    chunk's frame axis is sharded over the mesh (GSPMD; the detect->fit
+    chain is embarrassingly frame-parallel so XLA inserts no collectives)
+    and results come back frame-sharded before the host gather.  ``chunk``
+    must be divisible by ``mesh.size``.  Numerics are unchanged: frame k's
+    result never depends on which device computed it (pinned by
+    tests/test_parallel.py::test_stream_sharded_matches_batch on the
+    8-device CPU mesh).
+
     images1/images2: (N, H, W) arrays (numpy / memmap accepted).  Returns a
     StreamPoseSummary / StereoPoseResult of host numpy arrays with the
     padding dropped.
@@ -238,7 +261,18 @@ def estimate_poses_stream(
     if n == 0:
         raise ValueError("estimate_poses_stream needs at least one frame")
 
-    step = _stream_step(stereo, detect_cfg, fit_cfg, reg_cfg, compact)
+    if mesh is not None and chunk % mesh.size != 0:
+        raise ValueError(
+            f"chunk ({chunk}) must be divisible by the mesh size "
+            f"({mesh.size}) for frame-axis sharding"
+        )
+    step = _stream_step(stereo, detect_cfg, fit_cfg, reg_cfg, compact, mesh)
+    if mesh is not None:
+        from cylinder_pose_estimation_tpu.parallel.mesh import frame_sharding
+
+        in_sharding = frame_sharding(mesh)
+    else:
+        in_sharding = None
 
     def _load(s):
         e = min(s + chunk, n)
@@ -252,7 +286,11 @@ def estimate_poses_stream(
 
     def _upload(s):
         a, b, live = _load(s)
-        da, db = jax.device_put((a, b))
+        if in_sharding is not None:
+            da = jax.device_put(a, in_sharding)
+            db = jax.device_put(b, in_sharding)
+        else:
+            da, db = jax.device_put((a, b))
         return da, db, live
 
     starts = list(range(0, n, chunk))
@@ -281,7 +319,13 @@ def estimate_poses_stream(
     else:
         for s in starts:
             a, b, live = _load(s)
-            r = step(jnp.asarray(a), jnp.asarray(b))
+            if in_sharding is not None:
+                r = step(
+                    jax.device_put(a, in_sharding),
+                    jax.device_put(b, in_sharding),
+                )
+            else:
+                r = step(jnp.asarray(a), jnp.asarray(b))
             outs.append(jax.tree.map(lambda x: np.asarray(x)[:live], r))
 
     if pending is not None:

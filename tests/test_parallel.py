@@ -360,3 +360,46 @@ def test_stream_survives_undetectable_frames():
         np.asarray(ref.fit.params),
         atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_stream_sharded_matches_batch():
+    """estimate_poses_stream(mesh=...) shards each chunk's frame axis over
+    the 8-device mesh and must stay numerically identical to the unsharded
+    batch reference -- multi-chip serving is a sharding annotation, not a
+    different program (SURVEY.md §5 distributed backend)."""
+    from cylinder_pose_estimation_tpu.models.pipeline import (
+        estimate_poses_stream,
+    )
+
+    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0, baseline=30.0)
+    i1, i2 = _frames(stereo, 8)
+    # pad the stack to 16 so the stream sees 2 chunks of mesh-divisible 8
+    i1 = np.concatenate([i1, i1])
+    i2 = np.concatenate([i2, i2])
+    cfg = CylinderDetectConfig(height=H, width=W, cc_iters=8, min_ok_points=5)
+    fit_cfg = FitConfig(cyl_radius=55.0, lm_iters=20)
+
+    ref = jax.jit(
+        lambda a, b: estimate_poses_batch(a, b, stereo, cfg, fit_cfg)
+    )(i1, i2)
+
+    mesh = make_mesh(jax.devices()[:N_DEV])
+    smry = estimate_poses_stream(
+        i1, i2, stereo, cfg, fit_cfg, chunk=8, compact=True, overlap=True,
+        mesh=mesh,
+    )
+    # the partitioned lowering reorders f32 reductions, so compare solution
+    # invariants (axis, objective, reproj) exactly like the GSPMD pipeline
+    # tests -- StreamPoseSummary duck-types the fit fields the helper reads
+    _assert_fits_equivalent(smry, ref.fit)
+    np.testing.assert_array_equal(
+        np.asarray(smry.ok),
+        np.asarray(ref.detect1.ok) & np.asarray(ref.detect2.ok),
+    )
+
+    # chunk not divisible by mesh size must be rejected loudly
+    with pytest.raises(ValueError):
+        estimate_poses_stream(
+            i1, i2, stereo, cfg, fit_cfg, chunk=6, mesh=mesh
+        )
