@@ -823,6 +823,18 @@ def _bridge_angle_exp_endpoint_pair(
     return angle, exp_img
 
 
+def _n_components(masks, labels) -> jnp.ndarray:
+    """Count 8-connected components from min-linear-index labels: exactly
+    one pixel per component holds its own raster index (for a converged
+    labeling; under-convergence overcounts, which only makes the
+    bridged-components diagnostic conservative).  Accepts (H, W) or a
+    leading stack axis."""
+    h, w = masks.shape[-2], masks.shape[-1]
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    root = masks & (labels.astype(jnp.int32) == idx)
+    return jnp.sum(root).astype(jnp.int32)
+
+
 def _bridge(
     mask: jnp.ndarray,
     base_angle: float,
@@ -860,12 +872,15 @@ def _bridge(
     probe = cfg.endpoint_probe_len if probe_len is None else probe_len
     out = mask
     angle = jnp.asarray(base_angle, jnp.float32)
-    for _ in range(cfg.bridge_repeats):
+    n_pre = jnp.int32(0)
+    for rep in range(cfg.bridge_repeats):
         if pre_pooled:
             small = out
         else:
             small = _pool2_pad(out) if ds == 2 else out
         labels = _cc(small, cfg.cc_iters // 2, cfg, frac=1.0)
+        if rep == 0:
+            n_pre = _n_components(small, labels)
         angle, exp_img = _bridge_angle_exp(small, labels, base_angle, cfg, scale=ds)
         if ds == 2 and not pre_pooled:
             exp_img = _upsample2(exp_img, h_img, w_img)
@@ -875,7 +890,7 @@ def _bridge(
         grown = morphology.dilate_line(endpoints, angle, max_kernel_len, kernel_len)
         grown = morphology.dilate_rect(grown, 3, 3)  # give the line thickness
         out = out | (morphology.erode_rect(out | grown, 3, 3) & grown)
-    return out, angle
+    return out, angle, n_pre
 
 
 def _bridge_pair(
@@ -907,19 +922,24 @@ def _bridge_pair(
     the half-res labeling CC).  One algorithm, two backends: anything else
     makes the A/B parity gate compare two different bridges."""
     half_shared = cfg.label_downsample == 2 and cfg.bridge_half_res
+
     if not cfg.use_pallas:
         if half_shared:
             kl = kernel_len / 2.0
             mk = max(max_kernel_len // 2, 1)
             pr = max(2, (cfg.endpoint_probe_len + 1) // 2)
-            h_out, h_ang = _bridge(_pool2_pad(mh), 0.0, kl, mk, cfg,
-                                   pre_pooled=True, probe_len=pr)
-            v_out, v_ang = _bridge(_pool2_pad(mv), jnp.pi / 2, kl, mk, cfg,
-                                   pre_pooled=True, probe_len=pr)
-            return h_out, v_out, None, jnp.stack([h_ang, v_ang])
-        h_out, h_ang = _bridge(mh, 0.0, kernel_len, max_kernel_len, cfg)
-        v_out, v_ang = _bridge(mv, jnp.pi / 2, kernel_len, max_kernel_len, cfg)
-        return h_out, v_out, None, jnp.stack([h_ang, v_ang])
+            ph, pv = _pool2_pad(mh), _pool2_pad(mv)
+            h_out, h_ang, h_pre = _bridge(ph, 0.0, kl, mk, cfg,
+                                          pre_pooled=True, probe_len=pr)
+            v_out, v_ang, v_pre = _bridge(pv, jnp.pi / 2, kl, mk, cfg,
+                                          pre_pooled=True, probe_len=pr)
+            return (h_out, v_out, None, jnp.stack([h_ang, v_ang]),
+                    h_pre + v_pre)
+        h_out, h_ang, h_pre = _bridge(mh, 0.0, kernel_len, max_kernel_len, cfg)
+        v_out, v_ang, v_pre = _bridge(mv, jnp.pi / 2, kernel_len,
+                                      max_kernel_len, cfg)
+        return (h_out, v_out, None, jnp.stack([h_ang, v_ang]),
+                h_pre + v_pre)
     from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
         bridge_morphology,
         connected_components as cc_pallas,
@@ -947,6 +967,7 @@ def _bridge_pair(
         masks = jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
         kernel_len = kernel_len / 2.0
         max_kernel_len = max(max_kernel_len // 2, 1)
+    n_pre = jnp.int32(0)
     endpoint_stats = cfg.bridge_endpoint_stats
     if endpoint_stats:
         from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
@@ -957,7 +978,7 @@ def _bridge_pair(
     # path): keep the base axis angles so the final stack stays defined,
     # mirroring the XLA path's `angle = base_angle` init.
     angle_h, angle_v = jnp.float32(0.0), jnp.float32(jnp.pi / 2)
-    for _ in range(cfg.bridge_repeats):
+    for rep in range(cfg.bridge_repeats):
         small = (
             jnp.stack([_pool2_pad(masks[0]), _pool2_pad(masks[1])])
             if ds == 2 and not half
@@ -976,6 +997,9 @@ def _bridge_pair(
             pmin, pmax = component_payload_minmax(
                 small, pay, rounds=rounds, interpret=cfg.pallas_interpret
             )
+            if rep == 0:
+                # one pixel per component attains its scan-order payload min
+                n_pre = jnp.sum(small & (pay == pmin)).astype(jnp.int32)
             (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_endpoint_pair(
                 small.astype(jnp.float32), pmin, pmax, cfg, scale=ds
             )
@@ -986,6 +1010,8 @@ def _bridge_pair(
                 interpret=cfg.pallas_interpret,
             )
             warm_labels = labels
+            if rep == 0:
+                n_pre = _n_components(small, labels)
             (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_pair(
                 small, labels, cfg, scale=ds
             )
@@ -1002,7 +1028,8 @@ def _bridge_pair(
             interpret=cfg.pallas_interpret,
         )
         masks = bridged > 0.5
-    return masks[0], masks[1], warm_labels, jnp.stack([angle_h, angle_v])
+    return (masks[0], masks[1], warm_labels, jnp.stack([angle_h, angle_v]),
+            n_pre)
 
 
 def _assign_labels(
@@ -1370,7 +1397,7 @@ def detect_grid(
     # 6a. bridge lines
     kernel_len = jnp.asarray(cfg.bridge_kernel_base, jnp.float32) + circle_radius0
     max_kernel = cfg.bridge_kernel_base + 160
-    h_exp, v_exp, warm_labels, bridge_angles = _bridge_pair(
+    h_exp, v_exp, warm_labels, bridge_angles, n_pre_components = _bridge_pair(
         mh, mv, kernel_len, max_kernel, cfg
     )
     if cfg.stage_probe == "bridge":
@@ -1467,6 +1494,16 @@ def detect_grid(
         "SAME",
     )
     labels_converged = ~jnp.any(hv_masks & (neigh_min < lab_pair))
+    # Bridging observability (DetectResult.bridged_components): components
+    # merged by line bridging = pre-bridge fragment count minus the final
+    # post-bridge count (both from min-linear-index labelings on the same
+    # half-res canvas).  End-of-line extensions -- which bridging performs
+    # on EVERY scene -- do not merge components, so this is 0 exactly when
+    # no gap was closed; the backend-agreement contract (randomized sweep)
+    # is exactness whenever it is 0.  bridge_repeats=0 leaves n_pre=0 ->
+    # clamped to 0.
+    n_post_components = _n_components(hv_masks, lab_pair)
+    bridged_components = jnp.maximum(n_pre_components - n_post_components, 0)
     if cfg.max_rows == cfg.max_cols:
         # Rows + cols in ONE vmapped launch: _assign_labels is ~15 small
         # latency-bound (P, P) reductions, so two sequential calls pay twice
@@ -1692,7 +1729,7 @@ def detect_grid(
     result = DetectResult(
         grid=grid, ok=ok, roi_bbox=bbox, circle_radius0=circle_radius0,
         labels_converged=labels_converged, max_line_tilt=max_line_tilt,
-        stable=stable,
+        stable=stable, bridged_components=bridged_components,
     )
     if not return_debug:
         return result

@@ -122,6 +122,11 @@ class StreamPoseSummary(NamedTuple):
     n_points: jnp.ndarray           # (F,) int32 triangulated points in fit
     ok: jnp.ndarray                 # (F,) both views detected a usable grid
     stable: jnp.ndarray             # (F,) both views stable
+    bridged_components: jnp.ndarray # (F,) int32 fragments merged by line
+                                    # bridging, summed over both views --
+                                    # backends are exact-equal when 0;
+                                    # gap-bridged frames deserve reduced
+                                    # trust
     healthy: jnp.ndarray            # (F,) pipeline.frame_health mask
     center1: jnp.ndarray            # (F, 2) view-1 grid origin
     center2: jnp.ndarray            # (F, 2)
@@ -140,6 +145,8 @@ def _summarize_batch(
         n_points=jnp.sum(fit.points_valid.astype(jnp.int32), axis=-1),
         ok=batch.detect1.ok & batch.detect2.ok,
         stable=batch.detect1.stable & batch.detect2.stable,
+        bridged_components=(batch.detect1.bridged_components
+                            + batch.detect2.bridged_components),
         healthy=frame_health(batch, reg_cfg),
         center1=batch.detect1.grid.center,
         center2=batch.detect2.grid.center,

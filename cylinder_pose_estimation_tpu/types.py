@@ -133,6 +133,14 @@ class DetectResult(NamedTuple):
     stable: jnp.ndarray          # () bool: converged AND tilt within
                                  # cfg.max_stable_tilt; unstable frames are
                                  # masked by pipeline.frame_health
+    bridged_components: jnp.ndarray  # () int32: fragment components MERGED
+                                 # by line bridging (pre-bridge count minus
+                                 # final count; end-of-line extensions do
+                                 # not merge and do not count).
+                                 # Observability: backends are exact-equal
+                                 # when 0; gap-bridged frames may re-rank
+                                 # near gate boundaries -- log / downweight
+                                 # them in deployments
 
 
 class RegistrationResult(NamedTuple):
