@@ -398,6 +398,16 @@ def test_stream_sharded_matches_batch():
         np.asarray(ref.detect1.ok) & np.asarray(ref.detect2.ok),
     )
 
+    # the serial (overlap=False) loop shares the cached sharded step and
+    # must produce the identical summary
+    smry_serial = estimate_poses_stream(
+        i1, i2, stereo, cfg, fit_cfg, chunk=8, compact=True, overlap=False,
+        mesh=mesh,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(smry_serial.params), np.asarray(smry.params)
+    )
+
     # chunk not divisible by mesh size must be rejected loudly
     with pytest.raises(ValueError):
         estimate_poses_stream(
