@@ -40,6 +40,24 @@ def scene_images():
     return stereo, i1, i2
 
 
+# Fixed dropout band for the bridged golden scene: crosses one horizontal
+# and one vertical laser line of scene 0 near mid-frame; smooth-tapered
+# edges (a hard rectangle would manufacture step-edge ridges).
+GAP = (232, 250, 290, 320)  # y0, y1, x0, x1
+
+
+def apply_gap(img: np.ndarray) -> np.ndarray:
+    y0, y1, x0, x1 = GAP
+    yy = np.arange(img.shape[0], dtype=np.float32)[:, None]
+    xx = np.arange(img.shape[1], dtype=np.float32)[None, :]
+
+    def edge(v, lo, hi):
+        return 1.0 / (1.0 + np.exp(-(v - lo) / 1.5)) *                1.0 / (1.0 + np.exp((v - hi) / 1.5))
+
+    atten = 1.0 - 0.97 * edge(yy, y0, y1) * edge(xx, x0, x1)
+    return np.clip(np.asarray(img, np.float32) * atten, 0, 255)
+
+
 def grid_to_records(grid) -> list[dict]:
     xy = np.asarray(grid.xy, np.float64)
     idx = np.asarray(grid.idx)
@@ -78,6 +96,41 @@ def main() -> None:
         )
         print(f"scene {s}: {len(scenes[-1]['view1'])} pts view1, "
               f"reproj {scenes[-1]['mean_reproj_px']} px")
+
+    # Bridged scenes: scene 0 with the fixed dropout band -- pins the
+    # BRIDGING path (ridge -> carve -> bridge -> label -> intersect across
+    # a line gap) against committed values; the 6 clean scenes never bridge
+    # (bridged_components 0), which made them vacuous for it.  One record
+    # PER BACKEND: on bridged frames the backends may legitimately re-rank
+    # (the bridged_components contract), so each pins only itself.
+    ga = jnp.asarray(apply_gap(i1[0]))
+    gb = jnp.asarray(apply_gap(i2[0]))
+    cfg_p = CylinderDetectConfig(
+        height=HEIGHT, width=WIDTH, use_pallas=True, pallas_interpret=True
+    )
+    fn_p = jax.jit(
+        lambda a, b: estimate_pose_stereo(a, b, stereo, cfg_p, fit_cfg)
+    )
+    for name, f in (("gap0", fn), ("gap0_pallas", fn_p)):
+        res = f(ga, gb)
+        nb = (int(res.detect1.bridged_components)
+              + int(res.detect2.bridged_components))
+        scenes.append(
+            {
+                "scene": name,
+                "view1": grid_to_records(res.detect1.grid),
+                "view2": grid_to_records(res.detect2.grid),
+                "center1": [round(float(v), 4) for v in np.asarray(res.detect1.grid.center)],
+                "fit_params": [round(float(v), 5) for v in np.asarray(res.fit.params)],
+                "fvals": [round(float(v), 4) for v in np.asarray(res.fit.fvals)],
+                "mean_reproj_px": round(float(res.fit.mean_reproj_error), 5),
+                "bridged_components": nb,
+            }
+        )
+        print(f"scene {name}: {len(scenes[-1]['view1'])} pts view1, "
+              f"bridged_components {nb}, "
+              f"reproj {scenes[-1]['mean_reproj_px']} px")
+        assert nb > 0, "gap scene must actually bridge -- adjust GAP"
 
     os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
     with open(FIXTURE, "w") as f:

@@ -39,7 +39,7 @@ def results(golden):
     from cylinder_pose_estimation_tpu.config import CylinderDetectConfig, FitConfig
     from cylinder_pose_estimation_tpu.models.pipeline import estimate_pose_stereo
 
-    n = len(golden["scenes"])
+    n = sum(1 for s in golden["scenes"] if isinstance(s["scene"], int))
     stereo, (i1, i2) = _example_pair(480, 640, n_frames=n)
     cfg = CylinderDetectConfig(height=480, width=640, use_pallas=False)
     fn = jax.jit(lambda a, b: estimate_pose_stereo(a, b, stereo, cfg, FitConfig()))
@@ -91,7 +91,7 @@ def results_pallas(golden):
     from cylinder_pose_estimation_tpu.config import CylinderDetectConfig, FitConfig
     from cylinder_pose_estimation_tpu.models.pipeline import estimate_pose_stereo
 
-    n = len(golden["scenes"])
+    n = sum(1 for s in golden["scenes"] if isinstance(s["scene"], int))
     stereo, (i1, i2) = _example_pair(480, 640, n_frames=n)
     cfg = CylinderDetectConfig(
         height=480, width=640, use_pallas=True, pallas_interpret=True
@@ -124,3 +124,38 @@ def test_golden_scene_slow(results, golden, s):
 @pytest.mark.parametrize("s", range(N_CHEAP, 6))
 def test_golden_scene_pallas_interpret_slow(results_pallas, golden, s):
     _check_scene(results_pallas(s), golden["scenes"][s])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_golden_gap_scene(golden, use_pallas):
+    """The BRIDGED golden scene (scene 0 + the generator's fixed dropout
+    band): pins the full ridge -> carve -> bridge -> label -> intersect
+    chain across an actual line gap against committed values.  One golden
+    record PER BACKEND: bridged frames may legitimately re-rank across
+    backends (the bridged_components contract), so each backend pins only
+    its own prior behavior.  The 6 clean golden scenes never bridge
+    (bridged_components 0), so before this the bridging path had
+    backend-vs-backend tests but no committed absolute pin."""
+    from __graft_entry__ import _example_pair
+    from tests.make_golden import apply_gap
+    from cylinder_pose_estimation_tpu.config import (
+        CylinderDetectConfig, FitConfig,
+    )
+    from cylinder_pose_estimation_tpu.models.pipeline import (
+        estimate_pose_stereo,
+    )
+
+    name = "gap0_pallas" if use_pallas else "gap0"
+    want = next(s for s in golden["scenes"] if s["scene"] == name)
+    stereo, (i1, i2) = _example_pair(480, 640, n_frames=1)
+    cfg = CylinderDetectConfig(
+        height=480, width=640,
+        use_pallas=use_pallas, pallas_interpret=use_pallas,
+    )
+    res = jax.jit(
+        lambda a, b: estimate_pose_stereo(a, b, stereo, cfg, FitConfig())
+    )(jnp.asarray(apply_gap(i1[0])), jnp.asarray(apply_gap(i2[0])))
+    _check_scene(res, want)
+    nb = int(res.detect1.bridged_components) + int(res.detect2.bridged_components)
+    assert nb == want["bridged_components"], (nb, want["bridged_components"])
