@@ -65,8 +65,13 @@ class _TiledFrames:
         s0 = start % per
         if s0 + ln <= per:
             return self.arrangement[s0 : s0 + ln]  # zero-copy view
-        head = self.arrangement[s0:]
-        return np.concatenate([head, self.arrangement[: ln - len(head)]])
+        # Wrapped chunk (possibly spanning multiple periods when ln > per,
+        # e.g. small --pool with the default chunk): modular take is exact
+        # for any ln; the straight-slice fast path above keeps the common
+        # case zero-copy.
+        out = np.take(self.arrangement, np.arange(s0, s0 + ln) % per, axis=0)
+        assert len(out) == ln
+        return out
 
 
 def main() -> None:

@@ -1419,6 +1419,19 @@ def detect_grid(
     # scenes -- thin lines vanish under the second pool) for only ~0.04
     # ms/view.  Half-res is the floor for the final labeling CC.
     assign_scale = ds
+    # Pre-bridge masks on the SAME canvas as hv_masks: recounted below with
+    # the final-CC budget so bridged_components is exact rather than
+    # conservative (the bridge's rep-0 stats CC runs a shallower budget and
+    # overcounts fragments on under-converged scenes, flagging never-bridged
+    # frames as gap-bridged -- ADVICE r4).  Skipped when bridge_repeats == 0
+    # (no bridging -> diagnostic is identically 0).
+    recount_pre = cfg.bridge_repeats > 0
+    if recount_pre:
+        pre_masks = (
+            jnp.stack([_pool2_pad(mh), _pool2_pad(mv)])
+            if ds == 2
+            else jnp.stack([mh, mv])
+        )
     if cfg.use_pallas:
         from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
             connected_components as cc_pallas,
@@ -1464,6 +1477,26 @@ def detect_grid(
                 interpret=cfg.pallas_interpret,
                 init_labels=None if init is None else init[1],
             )
+        elif recount_pre:
+            # Fold the exact pre-bridge recount into the SAME launch: stack
+            # [h_post, v_post, h_pre, v_pre].  The warm labels are the
+            # prebridge labeling of the pre masks themselves, so they are a
+            # valid init for both halves (bridging only ADDS pixels), and
+            # the pre masks get the final budget (warm continuation or the
+            # full cold rounds) -- converged per the A/B evidence, making
+            # n_pre exact at ~2x the pixels of one slim kernel instead of a
+            # second launch.
+            quad = jnp.concatenate([hv_masks, pre_masks])
+            init4 = None if init is None else jnp.concatenate([init, init])
+            labels4 = cc_pallas(
+                quad,
+                rounds=cc_rounds,
+                pools_per_round=cfg.pallas_cc_pools,
+                interpret=cfg.pallas_interpret,
+                init_labels=init4,
+            )
+            h_labels, v_labels = labels4[0], labels4[1]
+            n_pre_components = _n_components(pre_masks, labels4[2:])
         else:
             hv_labels = cc_pallas(
                 hv_masks,
@@ -1476,6 +1509,12 @@ def detect_grid(
     else:
         h_labels = _cc(hv_masks[0], cfg.cc_iters, cfg)
         v_labels = _cc(hv_masks[1], cfg.cc_iters, cfg)
+        if recount_pre:
+            pre_lab = jnp.stack(
+                [_cc(pre_masks[0], cfg.cc_iters, cfg),
+                 _cc(pre_masks[1], cfg.cc_iters, cfg)]
+            )
+            n_pre_components = _n_components(pre_masks, pre_lab)
     if cfg.stage_probe == "labels":
         return _probe(cents, inside, h_labels, v_labels)
     # Convergence diagnostic (exact): min-propagation labeling is at its
@@ -1497,11 +1536,14 @@ def detect_grid(
     # Bridging observability (DetectResult.bridged_components): components
     # merged by line bridging = pre-bridge fragment count minus the final
     # post-bridge count (both from min-linear-index labelings on the same
-    # half-res canvas).  End-of-line extensions -- which bridging performs
-    # on EVERY scene -- do not merge components, so this is 0 exactly when
-    # no gap was closed; the backend-agreement contract (randomized sweep)
-    # is exactness whenever it is 0.  bridge_repeats=0 leaves n_pre=0 ->
-    # clamped to 0.
+    # half-res canvas, both at the FINAL CC budget -- the pre count is
+    # recounted above, so the diagnostic is exact, not conservative; the
+    # only path still using the bridge's shallow rep-0 count is the
+    # non-default pallas_cc_cross_cap>0 launch split).  End-of-line
+    # extensions -- which bridging performs on EVERY scene -- do not merge
+    # components, so this is 0 exactly when no gap was closed; the
+    # backend-agreement contract (randomized sweep) is exactness whenever
+    # it is 0.  bridge_repeats=0 leaves n_pre=0 -> clamped to 0.
     n_post_components = _n_components(hv_masks, lab_pair)
     bridged_components = jnp.maximum(n_pre_components - n_post_components, 0)
     if cfg.max_rows == cfg.max_cols:

@@ -229,7 +229,11 @@ def estimate_poses_stream(
     HBM at once (10k x 480x640 f32 x 2 views = ~25 GB), so this streams
     fixed-size ``chunk`` slices through ONE compiled step (the tail is padded
     by repeating the last frame so shapes stay static -- no recompile) and
-    device memory stays O(chunk).  Numerically identical to one big
+    device memory stays O(chunk) -- with ``overlap=True`` (the default) the
+    constant is ~3x: chunk k+1's uint8 inputs are staged by the uploader
+    thread while chunk k computes and chunk k-1's output pytree awaits
+    readback.  Size ``chunk`` to HBM accordingly; ``overlap=False`` restores
+    true single-chunk residency.  Numerically identical to one big
     estimate_poses_batch call (vmap is elementwise over frames).
 
     ``compact=True`` reduces each chunk ON DEVICE to a StreamPoseSummary

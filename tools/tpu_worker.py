@@ -6,7 +6,7 @@ device once and then executes job scripts submitted to a spool directory,
 so iterative benchmarking never re-claims or kills a TPU-holding process.
 
 Usage:
-    python tools/tpu_worker.py [--spool /tmp/tpuq] &
+    python tools/tpu_worker.py [--spool ~/.tpuq] &
     # submit: write  <name>.py  into <spool>/jobs/
     # result: <spool>/done/<name>.out  (stdout+stderr; last line 'RC=<n>')
 
@@ -30,14 +30,18 @@ from pathlib import Path
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--spool", default="/tmp/tpuq")
+    # Default under $HOME, created 0700: a world-writable fixed /tmp spool
+    # would let any local user drop a job that this process exec()s.
+    ap.add_argument("--spool", default=os.path.expanduser("~/.tpuq"))
     args = ap.parse_args()
 
-    spool = Path(args.spool)
+    spool = Path(os.path.expanduser(args.spool))
     jobs = spool / "jobs"
     done = spool / "done"
-    jobs.mkdir(parents=True, exist_ok=True)
-    done.mkdir(parents=True, exist_ok=True)
+    jobs.mkdir(parents=True, exist_ok=True, mode=0o700)
+    done.mkdir(parents=True, exist_ok=True, mode=0o700)
+    os.chmod(spool, 0o700)
+    uid = os.getuid()
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -49,7 +53,10 @@ def main() -> None:
     (spool / "ready").write_text(str(os.getpid()))
 
     while True:
-        pending = sorted(jobs.glob("*.py"), key=lambda p: p.stat().st_mtime)
+        pending = sorted(
+            (p for p in jobs.glob("*.py") if p.stat().st_uid == uid),
+            key=lambda p: p.stat().st_mtime,
+        )
         if not pending:
             time.sleep(0.5)
             continue
