@@ -38,4 +38,43 @@ from cylinder_pose_estimation_tpu.types import (
     StereoParams,
 )
 
+# Versioned public API surface (the functions a reference user needs):
+# single-image detection, the stereo detect->fit step, batch / streaming
+# serving, the full reference experiment, the per-frame cylinder fit, and
+# the reference JSON I/O contracts.
+from cylinder_pose_estimation_tpu.models.detector import detect_grid
+from cylinder_pose_estimation_tpu.models.pose import fit_single_cylinder
+from cylinder_pose_estimation_tpu.models.pipeline import (
+    estimate_pose_stereo,
+    estimate_poses_batch,
+    estimate_poses_stream,
+    full_experiment,
+    register_sequence,
+)
+from cylinder_pose_estimation_tpu.utils import io
+
+__all__ = [
+    "config",
+    "types",
+    "io",
+    "CylinderDetectConfig",
+    "DetectConfig",
+    "FitConfig",
+    "KinematicsConfig",
+    "PlaneDetectConfig",
+    "RegistrationConfig",
+    "CameraModel",
+    "CylinderFitResult",
+    "DetectResult",
+    "GridPoints",
+    "StereoParams",
+    "detect_grid",
+    "fit_single_cylinder",
+    "estimate_pose_stereo",
+    "estimate_poses_batch",
+    "estimate_poses_stream",
+    "full_experiment",
+    "register_sequence",
+]
+
 __version__ = "0.1.0"

@@ -15,10 +15,7 @@ Run:  python examples/quickstart.py        (from the repo root)
 """
 
 import os
-import sys
 import tempfile
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 

@@ -13,11 +13,7 @@ the streaming bottleneck on remote-attached accelerators).
 Run:  python examples/streaming_serving.py      (from the repo root)
 """
 
-import os
-import sys
 import time
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
