@@ -1402,6 +1402,21 @@ def detect_grid(
     )
     if cfg.stage_probe == "bridge":
         return _probe(cents, inside, h_exp, v_exp)
+    if cfg.stage_probe == "bridge_state":
+        # Test-only probe (tests/test_detect_oracle.py): the exact inputs of
+        # the bookkeeping chain (group -> sort -> fit -> prune -> intersect
+        # -> relabel -> index -> json), so an independent literal oracle can
+        # replay stages 6b-6g from the same state.  h_exp/v_exp live on the
+        # half-res padded canvas under the default bridge_half_res.
+        return {
+            "cents": cents,
+            "inside": inside,
+            "bbox": bbox,
+            "h_exp": h_exp,
+            "v_exp": v_exp,
+            "circle_radius0": circle_radius0,
+            "gray": gray,
+        }
 
     # 6b. label rows/cols and assign centroids (one batched launch on Pallas;
     # labeling at 1/label_downsample resolution -- labels are only grouping
@@ -1541,9 +1556,14 @@ def detect_grid(
     # only path still using the bridge's shallow rep-0 count is the
     # non-default pallas_cc_cross_cap>0 launch split).  End-of-line
     # extensions -- which bridging performs on EVERY scene -- do not merge
-    # components, so this is 0 exactly when no gap was closed; the
-    # backend-agreement contract (randomized sweep) is exactness whenever
-    # it is 0.  bridge_repeats=0 leaves n_pre=0 -> clamped to 0.
+    # components, so this is 0 exactly when no gap was closed.  The
+    # backend-agreement contract (randomized sweep, two tiers): 0 -> id
+    # SETS equal across backends; 0 AND axis-aligned (max_line_tilt <= ~2
+    # deg) -> positions exact too.  At non-axis angles the two bridge
+    # implementations' oriented morphology footprints may differ by one
+    # discretization pixel, which can perturb an outer column's polynomial
+    # by ~1 px without changing any id (r5 sweep seed 10).
+    # bridge_repeats=0 leaves n_pre=0 -> clamped to 0.
     n_post_components = _n_components(hv_masks, lab_pair)
     bridged_components = jnp.maximum(n_pre_components - n_post_components, 0)
     if cfg.max_rows == cfg.max_cols:
@@ -1571,8 +1591,8 @@ def detect_grid(
 
     # 6c. per-label polynomial fits (rows + cols in one batched solve)
     (
-        (row_coeffs, row_dom, row_valid, _),
-        (col_coeffs, col_dom, col_valid, _),
+        (row_coeffs, row_dom, row_valid, row_count),
+        (col_coeffs, col_dom, col_valid, col_count),
     ) = _fit_label_polys_pair(cents, row_of, row_ok, col_of, col_ok, cfg)
 
     # 6c''. plane-path short-column merge (ref utils/util_plane.py:449-557):
@@ -1590,7 +1610,7 @@ def detect_grid(
         mean_x = _label_mean(cents[:, 0], col_of, col_ok, cfg.max_cols)
         leader = _merge_short_column_leaders(span, mean_x, col_valid, cfg.max_cols)
         col_of = leader[col_of]
-        col_coeffs, col_dom, col_valid, _ = _fit_label_polys(
+        col_coeffs, col_dom, col_valid, col_count = _fit_label_polys(
             cents, col_of, col_ok, cfg.max_cols, cfg.poly_degree,
             cfg.domain_margin, True,
         )
@@ -1615,14 +1635,24 @@ def detect_grid(
             swap_xy=True,
         )
 
-    # 6d. prune first row / last col (ref remove_label utils/util_cylinder.py:1211-1269)
+    # 6d. prune first row / last col (ref remove_label utils/util_cylinder.py:1211-1269).
+    # "First"/"last" are positions in the reference's stored key order, which
+    # is min-member-y sorted for BOTH rows and cols: group_points_by_label
+    # hardcodes sort_rows (ref :376-394; sort_cols exists but is never called
+    # on the main path).  So the dropped col is the one whose TOPMOST point
+    # sits lowest in the image -- usually an arc-end column, NOT necessarily
+    # the rightmost (caught by the literal bookkeeping oracle,
+    # tests/test_detect_oracle.py; the pre-r5 code dropped max min-x).
+    # The ordering domain is every group with >= 1 member (dummy sub-degree
+    # groups included, ref create_dummy_rows_cols :401-430), hence the
+    # count >= 1 occupancy mask rather than the fitted `*_valid`.
     if getattr(cfg, "drop_first_row", False):
         row_min_y = _label_extreme(cents[:, 1], row_of, row_ok, cfg.max_rows, "min")
-        first = jnp.argmin(jnp.where(row_valid, row_min_y, jnp.inf))
+        first = jnp.argmin(jnp.where(row_count >= 1, row_min_y, jnp.inf))
         row_valid = row_valid & (jnp.arange(cfg.max_rows) != first)
     if getattr(cfg, "drop_last_col", False):
-        col_min_x = _label_extreme(cents[:, 0], col_of, col_ok, cfg.max_cols, "min")
-        last = jnp.argmax(jnp.where(col_valid, col_min_x, -jnp.inf))
+        col_min_y = _label_extreme(cents[:, 1], col_of, col_ok, cfg.max_cols, "min")
+        last = jnp.argmax(jnp.where(col_count >= 1, col_min_y, -jnp.inf))
         col_valid = col_valid & (jnp.arange(cfg.max_cols) != last)
 
     # 6e. intersections (ref find_and_assign_intersections_P :1106-1151)

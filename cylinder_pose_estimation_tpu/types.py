@@ -135,12 +135,16 @@ class DetectResult(NamedTuple):
                                  # masked by pipeline.frame_health
     bridged_components: jnp.ndarray  # () int32: fragment components MERGED
                                  # by line bridging (pre-bridge count minus
-                                 # final count; end-of-line extensions do
-                                 # not merge and do not count).
-                                 # Observability: backends are exact-equal
-                                 # when 0; gap-bridged frames may re-rank
-                                 # near gate boundaries -- log / downweight
-                                 # them in deployments
+                                 # final count, both at the final CC budget
+                                 # -- exact; end-of-line extensions do not
+                                 # merge and do not count).
+                                 # Observability contract: 0 -> backend id
+                                 # sets equal; 0 AND max_line_tilt <= ~2 deg
+                                 # -> positions exact too (oriented bridge
+                                 # morphology discretizes identically only
+                                 # at axis angles).  Gap-bridged frames may
+                                 # re-rank near gate boundaries -- log /
+                                 # downweight them in deployments
 
 
 class RegistrationResult(NamedTuple):

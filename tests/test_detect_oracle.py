@@ -1,0 +1,217 @@
+"""End-to-end detection BOOKKEEPING oracle tests (VERDICT r4 next-step #1).
+
+The literal reference chain (tests/_oracle_detect.py: scipy.ndimage label ->
+group/min-y sort -> polyfit -> remove_label -> scipy-root intersections ->
+clean_and_relabel -> indexing_data -> make_json) is replayed from the repo
+detector's OWN post-bridge state (the ``bridge_state`` probe: bridged masks,
+centroids, ROI bbox, gray, circle_radius0) and compared id-for-id against
+the detector's final output.  This pins the half of detection that golden
+fixtures could only pin against themselves: a silent id-convention, sorting,
+or pruning deviation now fails against an independent transliteration of
+/root/reference/utils/util_cylinder.py instead of being re-pinned as golden.
+
+This suite caught a real one on first run: the pre-r5 detector dropped the
+max-min-x (rightmost) column, but the reference's "last col" is last in
+min-member-Y order (group_points_by_label hardcodes sort_rows for both
+sides, ref :376-394), which on the bench scenes is an arc-end column on the
+NEGATIVE side -- the old code discarded a full valid column (32 -> 40 pts).
+
+The mutation tests prove the comparison has teeth: seeded bugs in the
+pruning config, the id order, and the positional relabel each make it fail.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import _oracle_detect as od
+
+H, W = 480, 640
+
+
+def _upsample2(small, h, w):
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    s = np.asarray(small)[:h2, :w2]
+    return np.repeat(np.repeat(s, 2, axis=0), 2, axis=1)[:h, :w]
+
+
+@pytest.fixture(scope="module")
+def scenes():
+    from __graft_entry__ import _example_pair
+
+    _, (i1, i2) = _example_pair(H, W, n_frames=3)
+    out = [i1[s] for s in range(3)] + [i2[0]]
+    # the rendered line-gap stress scene: bridging is ACTIVE, so the chain
+    # is compared in the regime where fragments merge (NEXT.md r4 lesson:
+    # bench scenes never bridge).
+    from test_detector_hardening import _gapped_scene
+
+    out.append(np.asarray(_gapped_scene(seed=5)[0]))
+    return out
+
+
+def _run_repo_and_oracle(img, cfg):
+    from cylinder_pose_estimation_tpu.models.detector import detect_grid
+
+    res = jax.jit(lambda im: detect_grid(im, cfg))(jnp.asarray(img, jnp.float32))
+    cfg_probe = dataclasses.replace(cfg, stage_probe="bridge_state")
+    st = jax.jit(lambda im: detect_grid(im, cfg_probe))(
+        jnp.asarray(img, jnp.float32)
+    )
+    cents = np.asarray(st["cents"])
+    inside = np.asarray(st["inside"])
+    js, dbg = od.detect_bookkeeping(
+        _upsample2(st["h_exp"], H, W),
+        _upsample2(st["v_exp"], H, W),
+        cents[inside],
+        np.asarray(st["bbox"]),
+        np.asarray(st["gray"]),
+        float(np.asarray(st["circle_radius0"])),
+        degree=cfg.poly_degree,
+        prune=cfg.drop_first_row or cfg.drop_last_col,
+    )
+    xy = np.asarray(res.grid.xy)
+    idx = np.asarray(res.grid.idx)
+    valid = np.asarray(res.grid.valid)
+    repo = {
+        (int(idx[i, 0]), int(idx[i, 1])): (float(xy[i, 0]), float(xy[i, 1]))
+        for i in range(len(valid))
+        if valid[i]
+    }
+    center = np.asarray(res.grid.center)
+    if js is None:
+        return repo, center, None, None
+    data = json.loads(js)
+    oracle = {tuple(p["id"]): (p["x"], p["y"]) for p in data["points"]}
+    return repo, center, oracle, np.asarray(data["center_point"], float)
+
+
+def _assert_match(repo, center, oracle, ocenter, tol=0.05):
+    assert oracle is not None and repo, "one side produced no points"
+    assert set(repo) == set(oracle), (
+        f"id sets differ: only-repo {sorted(set(repo) - set(oracle))} "
+        f"only-oracle {sorted(set(oracle) - set(repo))}"
+    )
+    for k in repo:
+        dx = abs(repo[k][0] - oracle[k][0])
+        dy = abs(repo[k][1] - oracle[k][1])
+        assert dx < tol and dy < tol, f"{k}: {repo[k]} vs {oracle[k]}"
+    assert np.all(np.abs(center - ocenter) < tol), (center, ocenter)
+
+
+def _cfg(**kw):
+    from cylinder_pose_estimation_tpu.config import CylinderDetectConfig
+
+    return CylinderDetectConfig(height=H, width=W, use_pallas=False, **kw)
+
+
+def test_bookkeeping_matches_oracle_bench_scene(scenes):
+    repo, center, oracle, ocenter = _run_repo_and_oracle(scenes[0], _cfg())
+    assert len(repo) >= 30
+    _assert_match(repo, center, oracle, ocenter)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("i", [1, 2, 3])
+def test_bookkeeping_matches_oracle_more_scenes(scenes, i):
+    repo, center, oracle, ocenter = _run_repo_and_oracle(scenes[i], _cfg())
+    _assert_match(repo, center, oracle, ocenter)
+
+
+def test_bookkeeping_matches_oracle_gap_scene(scenes):
+    """Bridged regime: fragments merged by the bridge stage flow through the
+    same bookkeeping; the oracle labels the repo's own bridged masks, so the
+    comparison isolates grouping->indexing even when bridging fired."""
+    repo, center, oracle, ocenter = _run_repo_and_oracle(scenes[4], _cfg())
+    assert len(repo) >= 20
+    _assert_match(repo, center, oracle, ocenter)
+
+
+# ---------------------------------------------------------------------------
+# mutation checks: the suite must FAIL for seeded bookkeeping bugs
+
+
+def _mismatch(repo, center, oracle, ocenter):
+    try:
+        _assert_match(repo, center, oracle, ocenter)
+    except AssertionError:
+        return True
+    return False
+
+
+@pytest.mark.slow
+def test_mutation_pruning_config_fails(scenes):
+    """Seeded bug: disable the first-row prune -> extra row ids appear and
+    every row index shifts; the oracle (which prunes) must disagree."""
+    cfg = _cfg(drop_first_row=False)
+    from cylinder_pose_estimation_tpu.models.detector import detect_grid
+
+    res = jax.jit(lambda im: detect_grid(im, cfg))(
+        jnp.asarray(scenes[0], jnp.float32)
+    )
+    repo_mut = {
+        (int(i0), int(i1))
+        for (i0, i1), v in zip(
+            np.asarray(res.grid.idx).tolist(), np.asarray(res.grid.valid)
+        )
+        if v
+    }
+    repo, center, oracle, ocenter = _run_repo_and_oracle(scenes[0], _cfg())
+    assert set(repo) == set(oracle)  # healthy baseline
+    assert repo_mut != set(oracle), "pruning mutation was not detected"
+
+
+@pytest.mark.slow
+def test_mutation_id_order_fails(scenes):
+    """Seeded bug: flip the (col,row) id convention to (row,col)."""
+    cfg = _cfg(id_row_major=True)
+    from cylinder_pose_estimation_tpu.models.detector import detect_grid
+
+    res = jax.jit(lambda im: detect_grid(im, cfg))(
+        jnp.asarray(scenes[0], jnp.float32)
+    )
+    repo_mut = {
+        (int(i0), int(i1))
+        for (i0, i1), v in zip(
+            np.asarray(res.grid.idx).tolist(), np.asarray(res.grid.valid)
+        )
+        if v
+    }
+    _, _, oracle, _ = _run_repo_and_oracle(scenes[0], _cfg())
+    assert repo_mut != set(oracle), "id-order mutation was not detected"
+
+
+@pytest.mark.slow
+def test_mutation_rank_by_fails(scenes, monkeypatch):
+    """Seeded bug in the positional relabel (_rank_by, stage 6f): reverse the
+    rank order.  Column indices flip sign relative to the center, so the
+    oracle comparison must detect it."""
+    import cylinder_pose_estimation_tpu.models.detector as det
+
+    orig = det._rank_by
+
+    def bad_rank(vals, valid):
+        r = orig(vals, valid)
+        n = jnp.sum(valid.astype(jnp.int32))
+        return jnp.where(valid, n - 1 - r, r)
+
+    monkeypatch.setattr(det, "_rank_by", bad_rank)
+    res = jax.jit(lambda im: det.detect_grid(im, _cfg()))(
+        jnp.asarray(scenes[0], jnp.float32)
+    )
+    repo_mut = {
+        (int(i0), int(i1))
+        for (i0, i1), v in zip(
+            np.asarray(res.grid.idx).tolist(), np.asarray(res.grid.valid)
+        )
+        if v
+    }
+    monkeypatch.undo()
+    _, _, oracle, _ = _run_repo_and_oracle(scenes[0], _cfg())
+    assert repo_mut != set(oracle), "_rank_by mutation was not detected"

@@ -201,6 +201,12 @@ def test_distorted_roundtrip_full_resolution_absolute():
     assert bool(res.detect1.ok) and bool(res.detect2.ok)
     errs = _detection_errors(scene, res, n_pts=13 * 9)
     assert len(errs) >= 30
-    assert np.median(errs) < 0.5 and np.max(errs) < 4.0
+    # Max budget 5.0: the r5 reference-exact prune (min-y order, detector
+    # stage 6d) keeps an arc-END column the old rule always discarded; its
+    # extreme points sit where the degree-2 curve model mismatches the
+    # radially-distorted arc the most (measured tail: 3.9/4.1 px on this
+    # scene, median unchanged at ~0.35).  The reference's own deg-2 fit has
+    # the identical model error on that column.
+    assert np.median(errs) < 0.5 and np.max(errs) < 5.0
     assert _axis_err_deg(res, scene) < 2.0
     assert float(res.fit.mean_reproj_error) < 0.5
