@@ -50,17 +50,30 @@ def clahe(
     ).reshape(tiles * tiles, n_bins)
 
     if clip_is_normalized:
-        limit = jnp.maximum(clip_limit * tile_px, tile_px / n_bins)
+        # MATLAB adapthisteq's limit: minClip + round(norm*(tilePx-minClip)),
+        # minClip = ceil(tilePx/nBins) (Zuiderveld CLAHE, which the MATLAB
+        # docs cite) -- oracle-pinned vs tests/_oracle_clahe.py.
+        min_clip = jnp.ceil(tile_px / n_bins)
+        limit = min_clip + jnp.round(clip_limit * (tile_px - min_clip))
     else:
         limit = jnp.maximum(1.0, clip_limit * tile_px / n_bins)
-    clipped = jnp.minimum(hist, limit)
-    excess = jnp.sum(hist - clipped, axis=-1, keepdims=True)
-    clipped = clipped + excess / n_bins  # uniform redistribution (single pass)
+
+    # ITERATIVE excess redistribution: a single uniform pass leaves bins
+    # above the limit whenever the uniform share pushes clipped bins back
+    # over it; re-clipping shrinks the regenerated excess geometrically
+    # (factor = clipped-bin fraction), so 16 fixed rounds reach float32
+    # resolution.  Total mass is preserved every round.
+    def _round(h, _):
+        excess = jnp.sum(jnp.maximum(h - limit, 0.0), axis=-1, keepdims=True)
+        return jnp.minimum(h, limit) + excess / n_bins, None
+
+    clipped, _ = jax.lax.scan(_round, hist, None, length=16)
 
     cdf = jnp.cumsum(clipped, axis=-1)
-    # Map to [0, 255] like equalizeHist: (cdf - cdf_min) / (N - cdf_min).
-    cdf_min = cdf[:, :1]
-    lut = 255.0 * (cdf - cdf_min) / jnp.maximum(tile_px - cdf_min, 1.0)
+    # 'uniform'-distribution mapping over the FULL output range, like both
+    # MATLAB adapthisteq ('full') and cv2: 255 * cdf / tilePx -- NOT the
+    # equalizeHist (cdf - cdf_min)/(N - cdf_min) anchor used before r5.
+    lut = jnp.minimum(255.0 * cdf / tile_px, 255.0)
     lut = lut.reshape(tiles, tiles, n_bins)
 
     # Bilinear interpolation between the 4 surrounding tile LUTs.
@@ -98,15 +111,21 @@ def preprocess_stereo(
     cam2,
     tiles: int = 8,
     clip_limit: float = 0.01,
+    interp: str = "cubic",
 ):
     """Stereo preprocessing (ref utils/preProcessing.m:1-22): to grayscale,
-    undistort both views, adaptive histogram equalization."""
+    undistort both views, adaptive histogram equalization.
+
+    ``interp`` defaults to 'cubic' because this function mirrors the MATLAB
+    experiment path, whose undistortImage call is explicitly cubic (ref
+    utils/preProcessing.m:12-13); the Python reference path (cv2.undistort,
+    bilinear) is the default elsewhere."""
     from cylinder_pose_estimation_tpu.ops.image import bgr_to_gray
     from cylinder_pose_estimation_tpu.ops.remap import undistort_image
 
     def one(img, cam):
         g = bgr_to_gray(img.astype(jnp.float32)) if img.ndim == 3 else img
-        g = undistort_image(g, cam)
+        g = undistort_image(g, cam, interp=interp)
         return clahe(g, tiles=tiles, clip_limit=clip_limit)
 
     return one(img1, cam1), one(img2, cam2)

@@ -197,6 +197,42 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     )
 
 
+def cubic_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bicubic-convolution sample of an (H, W) image at float (x, y) pixel
+    coords -- the Keys kernel with a = -0.5 (Catmull-Rom), which is what
+    MATLAB's 'cubic' interpolation uses (ref utils/preProcessing.m:12-13
+    undistortImage(..., 'cubic')).  Separable 4x4 tap stencil; coordinates
+    clamped to the valid interior like bilinear_sample."""
+    h, w = img.shape
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 1, w - 3)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 1, h - 3)
+    fx = x - x0
+    fy = y - y0
+
+    def keys(t):
+        # a = -0.5: w(t) for tap offsets (-1, 0, 1, 2) given fraction t
+        a = -0.5
+        t2 = t * t
+        t3 = t2 * t
+        w_m1 = a * (t3 - 2 * t2 + t)
+        w_0 = (a + 2) * t3 - (a + 3) * t2 + 1
+        w_p1 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
+        w_p2 = a * (t2 - t3)
+        return w_m1, w_0, w_p1, w_p2
+
+    wx = keys(fx)
+    wy = keys(fy)
+    out = jnp.zeros_like(fx)
+    for j, wyj in enumerate(wy):
+        row = jnp.zeros_like(fx)
+        for i, wxi in enumerate(wx):
+            row = row + wxi * img[y0 + (j - 1), x0 + (i - 1)]
+        out = out + wyj * row
+    return out
+
+
 def patch_mean_at(
     img_boxmean: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray
 ) -> jnp.ndarray:

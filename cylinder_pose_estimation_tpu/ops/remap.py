@@ -36,9 +36,20 @@ def distort_points(xy_norm: jnp.ndarray, cam: CameraModel) -> jnp.ndarray:
     return jnp.stack([xd, yd], axis=-1)
 
 
-def undistort_image(img: jnp.ndarray, cam: CameraModel) -> jnp.ndarray:
+def undistort_image(
+    img: jnp.ndarray, cam: CameraModel, interp: str = "bilinear"
+) -> jnp.ndarray:
     """Undistort an (H, W) or (H, W, C) image (cv2.undistort equivalent,
-    identity new camera matrix)."""
+    identity new camera matrix).
+
+    ``interp``: 'bilinear' matches the Python reference path (cv2.undistort's
+    default); 'cubic' (Catmull-Rom) matches the MATLAB experiment path's
+    undistortImage(..., 'cubic') (ref utils/preProcessing.m:12-13).  The two
+    shift ridge peaks by ~0.01-0.1 px at realistic distortion -- bounded by
+    tests/test_preprocess.py::test_undistort_cubic_vs_bilinear_ridge_shift."""
+    from cylinder_pose_estimation_tpu.ops.image import cubic_sample
+
+    sample = {"bilinear": bilinear_sample, "cubic": cubic_sample}[interp]
     h, w = img.shape[:2]
     k = cam.k
     fx, fy = k[0, 0], k[1, 1]
@@ -50,9 +61,9 @@ def undistort_image(img: jnp.ndarray, cam: CameraModel) -> jnp.ndarray:
     src_x = d[..., 0] * fx + cx
     src_y = d[..., 1] * fy + cy
     if img.ndim == 2:
-        return bilinear_sample(img.astype(jnp.float32), src_x, src_y)
+        return sample(img.astype(jnp.float32), src_x, src_y)
     chans = [
-        bilinear_sample(img[..., c].astype(jnp.float32), src_x, src_y)
+        sample(img[..., c].astype(jnp.float32), src_x, src_y)
         for c in range(img.shape[2])
     ]
     return jnp.stack(chans, axis=-1)
