@@ -24,15 +24,17 @@ Measurement protocol (honest under the axon tunnel):
     ~30 ms/call on the tunnel) amortize over K*batch frames instead of
     polluting the per-frame number;
   * timing is synced by materializing outputs on the host;
-  * the "stages" dict reports the detect-only ms/frame (both views) measured
-    the same way; fit = end_to_end - detect, where BOTH programs force their
-    complete output pytree into the carry (every leaf of every DetectResult /
-    StereoPoseResult).  Earlier probes forced only grid.xy / fit params, so
-    XLA dead-code-eliminated the indexing tail (center brightness, ids,
-    stability diagnostics) out of the detect-only program and the subtraction
-    over-attributed that work to "fit" (NEXT.md job 013); with both programs
-    fully forced, the shared detect subgraph is identical and the difference
-    is the correspond->triangulate->fit section plus nothing else.
+  * the "stages" dict reports the detect-only ms/frame (both views) via an
+    IN-SITU truncate-the-tail probe: estimate_poses_batch(probe="detect")
+    returns from the SAME source path right after the shared (2F,) detect
+    vmap, so the detect subgraph of both timed programs is byte-identical
+    and fit = end_to_end - detect isolates exactly the correspond ->
+    triangulate -> fit tail.  Both programs force their complete output
+    pytree into the carry (every leaf) -- earlier probes forced only
+    grid.xy / fit params, so XLA dead-code-eliminated the indexing tail out
+    of the detect program and over-attributed it to "fit" (NEXT.md job 013);
+    r5 additionally replaced the separately-reconstructed detect program
+    with the in-situ truncation (VERDICT r4 #4).
 """
 
 import json
@@ -50,7 +52,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from cylinder_pose_estimation_tpu.config import CylinderDetectConfig, FitConfig
-    from cylinder_pose_estimation_tpu.models.detector import detect_grid
     from cylinder_pose_estimation_tpu.models.pipeline import estimate_poses_batch
 
     from __graft_entry__ import _example_pair
@@ -76,13 +77,16 @@ def main() -> None:
         return _force(res)
 
     def step_detect(a, b, k):
-        # SAME structure as estimate_poses_batch's detect section (one
-        # (2F,)-batch vmap over the concatenated views, pipeline.py:95-97):
-        # two (F,) vmaps would pay ~2x the per-frame launch overhead on the
-        # launch-bound detector and bias the e2e - detect subtraction.
-        both = jnp.concatenate([a + k, b + k], axis=0)
-        det = jax.vmap(lambda im: _force(detect_grid(im, detect_cfg)))
-        return det(both).sum()
+        # IN-SITU truncation (VERDICT r4 #4): the SAME estimate_poses_batch
+        # source path, cut right after the shared (2F,) detect vmap via the
+        # static probe -- not a separately reconstructed detect program.  The
+        # detect subgraph is byte-identical between the two timed programs,
+        # so e2e - detect isolates exactly the correspond->triangulate->fit
+        # tail (plus the forcing of the fit leaves).
+        det = estimate_poses_batch(
+            a + k, b + k, stereo, detect_cfg, fit_cfg, probe="detect"
+        )
+        return _force(det)
 
     # 32 in-jit repetitions: the tunnel's per-call dispatch+readback floor
     # (measured drifting 5-30 ms/call) amortizes to < 0.06 ms/frame at B=16,
@@ -124,9 +128,13 @@ def main() -> None:
                     "fit_ms_per_frame": round((spf - spf_detect) * 1e3, 3),
                     "end_to_end_ms_per_frame": round(spf * 1e3, 3),
                     "method": (
-                        "both programs force their FULL output pytree "
-                        "(no DCE of the indexing tail); fit = e2e - detect "
-                        "over the shared, identical detect subgraph"
+                        "in-situ: the detect probe is the e2e program "
+                        "truncated after the shared (2F,) detect vmap "
+                        "(estimate_poses_batch(probe='detect')); both "
+                        "programs force their FULL output pytree, so "
+                        "fit = e2e - detect isolates the correspond->"
+                        "triangulate->fit tail over a byte-identical "
+                        "detect subgraph"
                     ),
                 },
             }

@@ -85,16 +85,25 @@ def estimate_poses_batch(
     stereo: StereoParams,
     detect_cfg: DetectConfig,
     fit_cfg: FitConfig = FitConfig(),
+    probe: str | None = None,
 ) -> StereoPoseResult:
     """Batched estimate_pose_stereo over a leading frame axis.
 
     Both views are detected in ONE (2F,)-batch vmap rather than two (F,)
     calls: the detector is a chain of small launch-bound ops on TPU, so
     doubling the data per op halves the per-frame dispatch overhead
-    (numerically identical -- vmap is elementwise over frames)."""
+    (numerically identical -- vmap is elementwise over frames).
+
+    ``probe="detect"`` (static) truncates the program right after the shared
+    (2F,) detect vmap and returns that stacked DetectResult: the bench's
+    in-situ stage split times THIS truncation against the full program, so
+    the subtraction isolates the correspond->triangulate->fit tail over a
+    byte-identical detect subgraph (VERDICT r4 #4)."""
     f = images1.shape[0]
     both = jnp.concatenate([images1, images2], axis=0)
     det = jax.vmap(lambda im: detect_grid(im, detect_cfg))(both)
+    if probe == "detect":
+        return det
     d1 = jax.tree.map(lambda x: x[:f], det)
     d2 = jax.tree.map(lambda x: x[f:], det)
     fit = jax.vmap(lambda a, b: fit_single_cylinder(a, b, stereo, fit_cfg))(
