@@ -377,16 +377,19 @@ def _pool4_pad(mask: jnp.ndarray) -> jnp.ndarray:
     8 (sublanes) and width to a multiple of 128 (lanes) so the Pallas CC
     kernel gets tiled shapes.  Padding is background; all lowres consumers
     work in this canvas space and crop/offset only at the boundary back to
-    full resolution."""
+    full resolution.  Accepts (H, W) or a leading stack axis (one pooled
+    launch for several masks -- the stage is launch-bound, not
+    bandwidth-bound)."""
+    stacked = mask.ndim == 3
+    wd = (1, 4, 4) if stacked else (4, 4)
     small = jax.lax.reduce_window(
-        mask.astype(jnp.float32), -jnp.inf, jax.lax.max, (4, 4), (4, 4), "VALID"
+        mask.astype(jnp.float32), -jnp.inf, jax.lax.max, wd, wd, "VALID"
     ) > 0.5
-    h4, w4 = small.shape
+    h4, w4 = small.shape[-2:]
     hp = ((h4 + 2 * _SHIFT4 + 7) // 8) * 8
     wp = ((w4 + 2 * _SHIFT4 + 127) // 128) * 128
-    return jnp.pad(
-        small, ((_SHIFT4, hp - h4 - _SHIFT4), (_SHIFT4, wp - w4 - _SHIFT4))
-    )
+    pad2 = ((_SHIFT4, hp - h4 - _SHIFT4), (_SHIFT4, wp - w4 - _SHIFT4))
+    return jnp.pad(small, ((0, 0),) + pad2 if stacked else pad2)
 
 
 def _cc_lowres_pair(
@@ -933,13 +936,15 @@ def _bridge_pair(
                                           pre_pooled=True, probe_len=pr)
             v_out, v_ang, v_pre = _bridge(pv, jnp.pi / 2, kl, mk, cfg,
                                           pre_pooled=True, probe_len=pr)
+            # pre_converged placeholder: the XLA path recounts the pre masks
+            # at the full cc_iters budget at the final-CC site (exact there)
             return (h_out, v_out, None, jnp.stack([h_ang, v_ang]),
-                    h_pre + v_pre)
+                    h_pre + v_pre, jnp.bool_(True))
         h_out, h_ang, h_pre = _bridge(mh, 0.0, kernel_len, max_kernel_len, cfg)
         v_out, v_ang, v_pre = _bridge(mv, jnp.pi / 2, kernel_len,
                                       max_kernel_len, cfg)
         return (h_out, v_out, None, jnp.stack([h_ang, v_ang]),
-                h_pre + v_pre)
+                h_pre + v_pre, jnp.bool_(True))
     from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
         bridge_morphology,
         connected_components as cc_pallas,
@@ -968,6 +973,10 @@ def _bridge_pair(
         kernel_len = kernel_len / 2.0
         max_kernel_len = max(max_kernel_len // 2, 1)
     n_pre = jnp.int32(0)
+    # bridge_repeats=0 counts nothing -> bridged_components is identically 0
+    # and exact; the endpoint_stats branch never checks its labeling's
+    # fixpoint -> claim conservative there.
+    pre_converged = jnp.bool_(cfg.bridge_repeats == 0)
     endpoint_stats = cfg.bridge_endpoint_stats
     if endpoint_stats:
         from cylinder_pose_estimation_tpu.ops.pallas.frontend import (
@@ -1012,6 +1021,24 @@ def _bridge_pair(
             warm_labels = labels
             if rep == 0:
                 n_pre = _n_components(small, labels)
+                # Exact fixpoint check of THIS labeling (one masked 3x3
+                # min-pool): when it holds, n_pre is the exact pre-bridge
+                # component count; when not, n_pre overcounts (conservative).
+                # Cheaper by ~0.13 ms/frame than recounting the pre masks at
+                # the final CC budget (measured r5: the 4-mask final launch
+                # cost 0.176 vs 0.046 ms/frame for the pair).
+                lab_m = jnp.where(
+                    small, labels.astype(jnp.int32), jnp.iinfo(jnp.int32).max
+                )
+                neigh = -jax.lax.reduce_window(
+                    -lab_m,
+                    -jnp.iinfo(jnp.int32).max,
+                    jax.lax.max,
+                    (1, 3, 3),
+                    (1, 1, 1),
+                    "SAME",
+                )
+                pre_converged = ~jnp.any(small & (neigh < lab_m))
             (angle_h, angle_v), (exp_h, exp_v) = _bridge_angle_exp_pair(
                 small, labels, cfg, scale=ds
             )
@@ -1029,7 +1056,7 @@ def _bridge_pair(
         )
         masks = bridged > 0.5
     return (masks[0], masks[1], warm_labels, jnp.stack([angle_h, angle_v]),
-            n_pre)
+            n_pre, pre_converged)
 
 
 def _assign_labels(
@@ -1353,10 +1380,17 @@ def detect_grid(
     # 3.+5a. ROI + saturation-blob labeling share ONE lowres CC launch: the
     # detector needs exactly two quarter-res labelings per image, and separate
     # scan-CC calls cost ~0.6 ms/frame each on v5e (launch-bound).
-    sat_small = _pool4_pad(sat_mask)
     if cfg.mode == "cylinder":
-        roi_seed4 = morphology.dilate_rect(_pool4_pad(h_mask | v_mask), 9, 9)
+        # One stacked pooling op for the saturation blob and the ROI seed
+        # (bit-identical to two _pool4_pad calls).  Measured on chip: NO
+        # throughput change (1277.9 -> 1275.3 fps, within noise) -- under
+        # the B=32 vmap the pools were never launch-bound, which also bounds
+        # the priced "fold the seed into the preprocess kernel" idea at the
+        # mask re-read HBM traffic (~us/frame); see PERF_FLOOR.md r5.
+        sat_small = pooled[0]
+        roi_seed4 = morphology.dilate_rect(pooled[1], 9, 9)
     else:
+        sat_small = _pool4_pad(sat_mask)
         roi_th = gray > cfg.roi_threshold  # type: ignore[attr-defined]
         roi_seed4 = _pool4_pad(roi_th)
     if cfg.stage_probe == "roi_seed":
@@ -1397,9 +1431,8 @@ def detect_grid(
     # 6a. bridge lines
     kernel_len = jnp.asarray(cfg.bridge_kernel_base, jnp.float32) + circle_radius0
     max_kernel = cfg.bridge_kernel_base + 160
-    h_exp, v_exp, warm_labels, bridge_angles, n_pre_components = _bridge_pair(
-        mh, mv, kernel_len, max_kernel, cfg
-    )
+    (h_exp, v_exp, warm_labels, bridge_angles, n_pre_components,
+     pre_cc_converged) = _bridge_pair(mh, mv, kernel_len, max_kernel, cfg)
     if cfg.stage_probe == "bridge":
         return _probe(cents, inside, h_exp, v_exp)
     if cfg.stage_probe == "bridge_state":
@@ -1434,13 +1467,16 @@ def detect_grid(
     # scenes -- thin lines vanish under the second pool) for only ~0.04
     # ms/view.  Half-res is the floor for the final labeling CC.
     assign_scale = ds
-    # Pre-bridge masks on the SAME canvas as hv_masks: recounted below with
-    # the final-CC budget so bridged_components is exact rather than
-    # conservative (the bridge's rep-0 stats CC runs a shallower budget and
-    # overcounts fragments on under-converged scenes, flagging never-bridged
-    # frames as gap-bridged -- ADVICE r4).  Skipped when bridge_repeats == 0
-    # (no bridging -> diagnostic is identically 0).
-    recount_pre = cfg.bridge_repeats > 0
+    # Pre-bridge masks on the SAME canvas as hv_masks (XLA path only):
+    # recounted below at the full cc_iters budget so bridged_components is
+    # exact (ADVICE r4).  The Pallas path instead checks the bridge's rep-0
+    # labeling for its min-propagation fixpoint EXACTLY (one 3x3 min-pool in
+    # _bridge_pair): when converged -- every bench/golden scene -- its count
+    # is already exact; when not, the count is a conservative overcount and
+    # the frame reads bridged > 0, which only widens the contract's excused
+    # set.  A full recount launch was measured at +0.13 ms/frame (r5) -- too
+    # expensive for a diagnostic.  Skipped when bridge_repeats == 0.
+    recount_pre = cfg.bridge_repeats > 0 and not cfg.use_pallas
     if recount_pre:
         pre_masks = (
             jnp.stack([_pool2_pad(mh), _pool2_pad(mv)])
@@ -1492,26 +1528,6 @@ def detect_grid(
                 interpret=cfg.pallas_interpret,
                 init_labels=None if init is None else init[1],
             )
-        elif recount_pre:
-            # Fold the exact pre-bridge recount into the SAME launch: stack
-            # [h_post, v_post, h_pre, v_pre].  The warm labels are the
-            # prebridge labeling of the pre masks themselves, so they are a
-            # valid init for both halves (bridging only ADDS pixels), and
-            # the pre masks get the final budget (warm continuation or the
-            # full cold rounds) -- converged per the A/B evidence, making
-            # n_pre exact at ~2x the pixels of one slim kernel instead of a
-            # second launch.
-            quad = jnp.concatenate([hv_masks, pre_masks])
-            init4 = None if init is None else jnp.concatenate([init, init])
-            labels4 = cc_pallas(
-                quad,
-                rounds=cc_rounds,
-                pools_per_round=cfg.pallas_cc_pools,
-                interpret=cfg.pallas_interpret,
-                init_labels=init4,
-            )
-            h_labels, v_labels = labels4[0], labels4[1]
-            n_pre_components = _n_components(pre_masks, labels4[2:])
         else:
             hv_labels = cc_pallas(
                 hv_masks,
@@ -1551,10 +1567,14 @@ def detect_grid(
     # Bridging observability (DetectResult.bridged_components): components
     # merged by line bridging = pre-bridge fragment count minus the final
     # post-bridge count (both from min-linear-index labelings on the same
-    # half-res canvas, both at the FINAL CC budget -- the pre count is
-    # recounted above, so the diagnostic is exact, not conservative; the
-    # only path still using the bridge's shallow rep-0 count is the
-    # non-default pallas_cc_cross_cap>0 launch split).  End-of-line
+    # half-res canvas).  Exactness: the XLA path recounts the pre masks at
+    # the full cc_iters budget (exact always); the Pallas path uses the
+    # bridge's rep-0 count, whose fixpoint is verified EXACTLY in
+    # _bridge_pair -- exact whenever pre_cc_converged (all bench/golden
+    # scenes), a conservative overcount otherwise (which only widens the
+    # contract's excused set; full recount measured +0.13 ms/frame, r5).
+    # The non-default endpoint_stats / cross_cap paths stay conservative.
+    # End-of-line
     # extensions -- which bridging performs on EVERY scene -- do not merge
     # components, so this is 0 exactly when no gap was closed.  The
     # backend-agreement contract (randomized sweep, two tiers): 0 -> id

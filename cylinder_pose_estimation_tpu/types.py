@@ -135,8 +135,10 @@ class DetectResult(NamedTuple):
                                  # masked by pipeline.frame_health
     bridged_components: jnp.ndarray  # () int32: fragment components MERGED
                                  # by line bridging (pre-bridge count minus
-                                 # final count, both at the final CC budget
-                                 # -- exact; end-of-line extensions do not
+                                 # final count; exact on the XLA path and on
+                                 # Pallas whenever the pre-bridge labeling's
+                                 # fixpoint check passes, else a conservative
+                                 # overcount; end-of-line extensions do not
                                  # merge and do not count).
                                  # Observability contract: 0 -> backend id
                                  # sets equal; 0 AND max_line_tilt <= ~2 deg

@@ -382,7 +382,7 @@ def test_bridge_closes_gap_with_default_config():
     # shipped path: shared half-res bridge via _bridge_pair (masks come back
     # on the half-res padded canvas; full-res row 120 -> 60, cols -> //2)
     assert cfg.bridge_half_res
-    mh, _, _, _angles, _npre = _bridge_pair(
+    mh, _, _, _angles, _npre, _preconv = _bridge_pair(
         jnp.asarray(m), jnp.zeros((H, W), bool), jnp.float32(60.0), 120, cfg
     )
     mh = np.asarray(mh)
