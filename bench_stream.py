@@ -79,6 +79,13 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=10000)
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--pool", type=int, default=64)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="spaced repetitions; the artifact reports "
+                         "min/median/max so one drifting-link sample cannot "
+                         "flatter or sandbag the number (VERDICT r4 #9)")
+    ap.add_argument("--gap", type=float, default=60.0,
+                    help="seconds between runs (lets the tunnel bandwidth "
+                         "drift between samples)")
     ap.add_argument("--out", default="BENCH_STREAM.json")
     args = ap.parse_args()
 
@@ -118,29 +125,51 @@ def main() -> None:
         warm1, warm2, stereo, cfg, fit_cfg, chunk=args.chunk, compact=True
     )
 
-    # In-run host-link H2D bandwidth (BLOCKED transfer: async dispatch alone
-    # reads ~30 ms for any size and is meaningless).  The axon tunnel is a
-    # WAN link whose bandwidth drifts 6-16 MB/s by time of day; a real TPU
-    # host feeds its chips over PCIe/DMA at GB/s, so the end-to-end number
-    # below is a property of this dev link, not of the framework.
-    probe = imgs1[slice(0, args.chunk)]
-    t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(probe))
-    bw = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    bytes_per_frame = 2 * height * width  # stereo uint8, the camera wire format
 
-    t0 = time.perf_counter()
-    res = estimate_poses_stream(
-        imgs1, imgs2, stereo, cfg, fit_cfg, chunk=args.chunk, compact=True
-    )
-    dt = time.perf_counter() - t0
+    def one_run():
+        # In-run host-link H2D bandwidth (BLOCKED transfer: async dispatch
+        # alone reads ~30 ms for any size and is meaningless).  The axon
+        # tunnel is a WAN link whose bandwidth drifts 6-16 MB/s by time of
+        # day; a real TPU host feeds its chips over PCIe/DMA at GB/s, so the
+        # end-to-end number below is a property of this dev link, not of the
+        # framework.
+        probe = imgs1[slice(0, args.chunk)]
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(probe))
+        bw = probe.nbytes / (time.perf_counter() - t0) / 1e6
 
-    fps = args.frames / dt
-    ok = np.asarray(res.ok)
-    n_ok = int(ok.sum())
-    errs = np.asarray(res.mean_reproj_error)
-    # None (JSON null), not NaN: json.dump would emit the non-standard
-    # token `NaN` and break strict consumers of the benchmark artifact
-    reproj = round(float(np.median(errs[ok])), 4) if n_ok else None
+        t0 = time.perf_counter()
+        res = estimate_poses_stream(
+            imgs1, imgs2, stereo, cfg, fit_cfg, chunk=args.chunk, compact=True
+        )
+        dt = time.perf_counter() - t0
+
+        fps = args.frames / dt
+        ok = np.asarray(res.ok)
+        n_ok = int(ok.sum())
+        errs = np.asarray(res.mean_reproj_error)
+        # None (JSON null), not NaN: json.dump would emit the non-standard
+        # token `NaN` and break strict consumers of the benchmark artifact
+        reproj = round(float(np.median(errs[ok])), 4) if n_ok else None
+        link_bound_fps = bw * 1e6 / bytes_per_frame
+        return {
+            "fps": round(fps, 2),
+            "wall_s": round(dt, 2),
+            "ok_frames": n_ok,
+            "median_reproj_px": reproj,
+            "link_h2d_mb_s": round(bw, 2),
+            "link_bound_fps": round(link_bound_fps, 2),
+            "link_efficiency": round(fps / link_bound_fps, 3),
+        }
+
+    runs = []
+    for r in range(max(1, args.runs)):
+        if r:
+            time.sleep(args.gap)
+        runs.append(one_run())
+        print(json.dumps({"run": r, **runs[-1]}))
+
     mem = None
     try:
         stats = jax.devices()[0].memory_stats()
@@ -149,21 +178,22 @@ def main() -> None:
     except Exception:
         pass
 
-    bytes_per_frame = 2 * height * width  # stereo uint8, the camera wire format
-    link_bound_fps = bw * 1e6 / bytes_per_frame
+    fpss = sorted(x["fps"] for x in runs)
+    med = fpss[len(fpss) // 2] if len(fpss) % 2 else round(
+        0.5 * (fpss[len(fpss) // 2 - 1] + fpss[len(fpss) // 2]), 2
+    )
     out = {
         "metric": "stream_frames_per_sec_10k",
-        "value": round(fps, 2),
+        "value": med,
         "unit": "frames/s",
+        "fps_min": fpss[0],
+        "fps_max": fpss[-1],
         "n_frames": args.frames,
         "chunk": args.chunk,
-        "wall_s": round(dt, 2),
-        "ok_frames": n_ok,
-        "median_reproj_px": reproj,
+        "runs": runs,
+        "ok_frames": runs[-1]["ok_frames"],
+        "median_reproj_px": runs[-1]["median_reproj_px"],
         "hbm_peak_bytes": mem,
-        "link_h2d_mb_s": round(bw, 2),
-        "link_bound_fps": round(link_bound_fps, 2),
-        "link_efficiency": round(fps / link_bound_fps, 3),
         "note": (
             "full host loop wall clock: uint8 H2D + batched detect->fit "
             "compute + host readback per chunk; three-deep pipeline "
@@ -172,7 +202,9 @@ def main() -> None:
             "in-run, blocked transfer) is the physical ceiling: "
             "link_bound_fps = bandwidth / (2*H*W bytes per stereo frame); "
             "link_efficiency is how close the loop runs to that ceiling.  "
-            "TPU compute sustains ~1400 fps on resident frames (BENCH_rNN)."
+            "value = MEDIAN fps over the spaced runs[]; fps_min/fps_max "
+            "carry the link-drift spread (VERDICT r4 #9).  TPU compute "
+            "sustains ~1280 fps on resident frames (BENCH_rNN)."
         ),
     }
     print(json.dumps(out))
