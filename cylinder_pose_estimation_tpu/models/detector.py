@@ -1387,6 +1387,7 @@ def detect_grid(
         # the B=32 vmap the pools were never launch-bound, which also bounds
         # the priced "fold the seed into the preprocess kernel" idea at the
         # mask re-read HBM traffic (~us/frame); see PERF_FLOOR.md r5.
+        pooled = _pool4_pad(jnp.stack([sat_mask, h_mask | v_mask]))
         sat_small = pooled[0]
         roi_seed4 = morphology.dilate_rect(pooled[1], 9, 9)
     else:

@@ -123,6 +123,105 @@ def fit_polynomials(rows, cols, degree=2):
     return rows, cols
 
 
+def fit_polynomials_plane(rows, cols, degree=1):
+    """ref utils/util_plane.py:411-634 fit_and_draw_polynomial (drawing
+    dropped): cols fitted with +-10 domains first, abnormal columns
+    (span <= 0.9 * max span, spans INCLUDING the +-10 extension) merged
+    greedily in numeric label order while the cumulative span stays within
+    the max, merged groups refit and relabeled col1..N by first-member
+    number, then a final pass restores +-50 domains for every col; rows
+    fitted once with +-50 like the cylinder path."""
+    for col_name, points in cols["points"].items():
+        if len(points) < degree + 1:
+            continue
+        pts = np.array(points, dtype=np.float32)
+        pts = pts[np.argsort(pts[:, 1], kind="stable")]
+        y_vals, x_vals = pts[:, 1], pts[:, 0]
+        poly_coeff = np.polyfit(y_vals, x_vals, degree)
+        y_min, y_max = float(y_vals.min()) - 10, float(y_vals.max()) + 10
+        cols["equations"][col_name] = list(poly_coeff) + [
+            y_min, y_max, abs(y_min - y_max)
+        ]
+    threshold_value = max(
+        (abs(eq[-1]) for eq in cols["equations"].values()), default=0
+    )
+    abnormal = [
+        k for k, eq in cols["equations"].items()
+        if abs(eq[-1]) <= 0.9 * threshold_value
+    ]
+    merge_groups, current, cumulative = [], [], 0
+    ordered = sorted(
+        cols["equations"].keys(),
+        key=lambda x: int("".join(filter(str.isdigit, x)) or 0),
+    )
+    for name in ordered:
+        if name in abnormal:
+            d = abs(cols["equations"][name][-1])
+            if cumulative + d <= threshold_value:
+                current.append(name)
+                cumulative += d
+            else:
+                if current:
+                    merge_groups.append(current)
+                current, cumulative = [name], d
+        else:
+            if current:
+                merge_groups.append(current)
+                current, cumulative = [], 0
+    if current:
+        merge_groups.append(current)
+    for group in merge_groups:
+        merged_points = []
+        for name in group:
+            merged_points.extend(cols["points"][name])
+            del cols["points"][name]
+            del cols["equations"][name]
+        if len(merged_points) < degree + 1:
+            continue
+        pts = np.array(merged_points, dtype=np.float32)
+        pts = pts[np.argsort(pts[:, 1], kind="stable")]
+        y_vals, x_vals = pts[:, 1], pts[:, 0]
+        poly_coeff = np.polyfit(y_vals, x_vals, degree)
+        y_min, y_max = float(y_vals.min()), float(y_vals.max())
+        name = "_".join(group)
+        cols["equations"][name] = list(poly_coeff) + [
+            y_min, y_max, abs(y_min - y_max)
+        ]
+        cols["points"][name] = merged_points
+    relabeled = sorted(
+        cols["equations"].keys(),
+        key=lambda x: int(x.split("_")[0].replace("col", "")),
+    )
+    cols["equations"] = {
+        f"col{i}": cols["equations"][k] for i, k in enumerate(relabeled, 1)
+    }
+    cols["points"] = {
+        f"col{i}": cols["points"][k] for i, k in enumerate(relabeled, 1)
+    }
+    for col_name, equation in list(cols["equations"].items()):
+        if len(cols["points"][col_name]) < degree + 1:
+            continue
+        pts = np.array(cols["points"][col_name], dtype=np.float32)
+        y_vals = np.sort(pts[:, 1], kind="stable")
+        poly_coeff = equation[: degree + 1]
+        y_min, y_max = float(y_vals.min()) - 50, float(y_vals.max()) + 50
+        cols["equations"][col_name] = list(poly_coeff) + [
+            y_min, y_max, abs(y_min - y_max)
+        ]
+    for row_name, points in rows["points"].items():
+        if len(points) < degree + 1:
+            continue
+        pts = np.array(points, dtype=np.float32)
+        pts = pts[np.argsort(pts[:, 0], kind="stable")]
+        x_vals, y_vals = pts[:, 0], pts[:, 1]
+        poly_coeff = np.polyfit(x_vals, y_vals, degree)
+        x_min, x_max = float(x_vals.min()) - 50, float(x_vals.max()) + 50
+        rows["equations"][row_name] = list(poly_coeff) + [
+            x_min, x_max, abs(x_max - x_min)
+        ]
+    return rows, cols
+
+
 # ---------------------------------------------------------------------------
 # pruning (ref utils/util_cylinder.py:1211-1269)
 
@@ -268,11 +367,19 @@ def _gaussian_blur_cv(img: np.ndarray, ksize: int) -> np.ndarray:
     return p[r:-r, r:-r]
 
 
-def indexing_data(rows, cols, gray, circle_radius0):
-    """ref indexing_data utils/util_cylinder.py:1350-1571 (ThreadPool fanout
-    replaced by plain loops; identical reductions).  Returns
-    (rows_dict, cols_dict, center_point) -- the downstream consumer is
-    make_json(center_point, remove_minus_labels(cols_dict)), ref :2052-2055."""
+def indexing_data(rows, cols, gray, circle_radius0, id_row_major=False,
+                  patch_rule="cylinder"):
+    """ref indexing_data utils/util_cylinder.py:1350-1571 / the plane
+    variant utils/util_plane.py:1255-1471 (ThreadPool fanout replaced by
+    plain loops; identical reductions).  The two references differ in
+    exactly two places, exposed as parameters: point ids are
+    (col, row) on the cylinder path (:1497) but (row, col) on the plane
+    path (util_plane :1398, 1420), and the brightness patch half-size is
+    max(3, cr/5) (+5 above 10) vs the plane's bare int(cr/4.5)
+    (util_plane :1280).  Returns (rows_dict, cols_dict, center_point) --
+    the downstream consumer is make_json(center_point, cols_dict) after
+    remove_minus_labels on the cylinder path only (ref :2052-2055,
+    util_plane :2840)."""
 
     def validate_points(points):
         return [
@@ -291,9 +398,12 @@ def indexing_data(rows, cols, gray, circle_radius0):
     def calculate_average_brightness(image, point):
         # ref :1373-1384: patch spans [int(x-h), int(x+h)) -- 2h wide.
         x, y = point
-        half = max(int(circle_radius0 / 5), 3)
-        if half > 10:
-            half = half + 5
+        if patch_rule == "plane":
+            half = int(circle_radius0 / 4.5)  # ref util_plane.py:1280
+        else:
+            half = max(int(circle_radius0 / 5), 3)
+            if half > 10:
+                half = half + 5
         x0, x1 = max(0, int(x - half)), min(image.shape[1], int(x + half))
         y0, y1 = max(0, int(y - half)), min(image.shape[0], int(y + half))
         return float(np.mean(image[y0:y1, x0:x1]))
@@ -318,13 +428,19 @@ def indexing_data(rows, cols, gray, circle_radius0):
 
     gaussian_image = _gaussian_blur_cv(gray, 7)
 
-    best = (-float("inf"), None)
+    brightness_results = []
     for label, points in validated_row_points.items():
         for point in points:
-            b = calculate_average_brightness(gaussian_image, point)
-            if b > best[0]:
-                best = (b, point)
-    center_point = best[1]
+            brightness_results.append(
+                (calculate_average_brightness(gaussian_image, point), point)
+            )
+    if not brightness_results:
+        return None, None, None
+    # literal max() like the reference (:1456): with all-NaN brightness
+    # (possible on the plane path when int(circle_radius/4.5) == 0 makes
+    # every patch empty) Python's max returns the FIRST item -- preserve
+    # that quirk rather than "fixing" it
+    center_point = max(brightness_results, key=lambda t: t[0])[1]
 
     center_row_label = closest_label(center_point, row_points_raw)
     center_col_label = closest_label(center_point, cols.get("points", {}))
@@ -349,8 +465,9 @@ def indexing_data(rows, cols, gray, circle_radius0):
         for point in points:
             ccl = closest_label(point, col_points_raw)
             nci = col_index_mapping.get(ccl, 0) if ccl else 0
+            pid = (nri, nci) if id_row_major else (nci, nri)
             rows_dict.setdefault(f"row{nri}", []).append(
-                {"id": (nci, nri), "x": point[0], "y": point[1]}
+                {"id": pid, "x": point[0], "y": point[1]}
             )
 
     validated_col_points = {}
@@ -365,8 +482,9 @@ def indexing_data(rows, cols, gray, circle_radius0):
         for point in points:
             crl = closest_label(point, row_points_raw)
             nri = row_index_mapping.get(crl, 0) if crl else 0
+            pid = (nri, nci) if id_row_major else (nci, nri)
             cols_dict.setdefault(f"col{nci}", []).append(
-                {"id": (nci, nri), "x": point[0], "y": point[1]}
+                {"id": pid, "x": point[0], "y": point[1]}
             )
     return rows_dict, cols_dict, center_point
 
@@ -421,6 +539,7 @@ def detect_bookkeeping(
     circle_radius0: float,
     degree: int = 2,
     prune: bool = True,
+    mode: str = "cylinder",
 ):
     """Replay the reference bookkeeping chain from post-bridge state.
 
@@ -441,15 +560,21 @@ def detect_bookkeeping(
     rows_g = group_points_by_label(pts, labels_h, x, y)
     cols_g = group_points_by_label(pts, labels_v, x, y)
     rows, cols = create_dummy_rows_cols(rows_g, cols_g, degree=degree)
-    rows, cols = fit_polynomials(rows, cols, degree=degree)
-    if prune:
+    if mode == "plane":
+        # ref util_plane.py:2820-2825: merge-capable fit, NO remove_label
+        rows, cols = fit_polynomials_plane(rows, cols, degree=degree)
+    else:
+        rows, cols = fit_polynomials(rows, cols, degree=degree)
+    if prune and mode != "plane":
         rows, cols = remove_label(rows, cols)
     rows_u, cols_u = find_and_assign_intersections(
         rows, cols, (x, y, w, h), degree=degree
     )
     rows_u, cols_u = clean_and_relabel(rows_u, cols_u)
     rows_dict, cols_dict, center_point = indexing_data(
-        rows_u, cols_u, gray, circle_radius0
+        rows_u, cols_u, gray, circle_radius0,
+        id_row_major=(mode == "plane"),
+        patch_rule=mode,
     )
     debug = {
         "rows_grouped": rows_g,
@@ -460,7 +585,7 @@ def detect_bookkeeping(
     }
     if cols_dict is None:
         return None, debug
-    kept = remove_minus_labels(cols_dict)
+    kept = remove_minus_labels(cols_dict) if mode != "plane" else cols_dict
     if not any(kept.values()):
         return None, debug
     return make_json(center_point, kept), debug
