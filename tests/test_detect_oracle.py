@@ -215,3 +215,119 @@ def test_mutation_rank_by_fails(scenes, monkeypatch):
     monkeypatch.undo()
     _, _, oracle, _ = _run_repo_and_oracle(scenes[0], _cfg())
     assert repo_mut != set(oracle), "_rank_by mutation was not detected"
+
+
+# ---------------------------------------------------------------------------
+# plane path (ref utils/util_plane.py: degree 1, abnormal-column merge, no
+# remove_label, (row, col) ids, no remove_minus_labels)
+
+
+def _plane_img(gap_col=None):
+    from cylinder_pose_estimation_tpu.utils.synthetic import (
+        default_stereo,
+        plane_grid_points,
+        render_grid_image,
+    )
+
+    h, w = 240, 320
+    stereo = default_stereo(cx=w / 2.0, cy=h / 2.0)
+    scene = plane_grid_points(
+        stereo, capacity=256, n_rows=9, n_cols=9, spacing=23.0
+    )
+    img = render_grid_image(
+        scene.gp1.xy, scene.gp1.valid, 9, 9, h, w, saturate_center=True
+    )
+    img = np.asarray(img, np.float32)
+    rng = np.random.default_rng(3)
+    img = img + rng.normal(0, 2.0, (h, w)).astype(np.float32)
+    if gap_col is not None:
+        # damp a horizontal band across one column region to fragment it
+        gxy = np.asarray(scene.gp1.xy).reshape(-1, 2)
+        x0 = float(gxy[4 * 9 + gap_col, 0])
+        img[60:72, int(x0) - 3 : int(x0) + 4] *= 0.05
+    return scene, np.clip(img, 0, 255)
+
+
+def _run_plane(img, cfg):
+    from cylinder_pose_estimation_tpu.models.detector import detect_grid
+
+    h, w = img.shape
+    res = jax.jit(lambda im: detect_grid(im, cfg))(jnp.asarray(img))
+    st = jax.jit(
+        lambda im: detect_grid(
+            im, dataclasses.replace(cfg, stage_probe="bridge_state")
+        )
+    )(jnp.asarray(img))
+    cents = np.asarray(st["cents"])
+    inside = np.asarray(st["inside"])
+    up = (lambda s: _upsample2(s, h, w)) if cfg.label_downsample == 2 else np.asarray
+    js, dbg = od.detect_bookkeeping(
+        up(st["h_exp"]),
+        up(st["v_exp"]),
+        cents[inside],
+        np.asarray(st["bbox"]),
+        np.asarray(st["gray"]),
+        float(np.asarray(st["circle_radius0"])),
+        degree=cfg.poly_degree,
+        prune=False,
+        mode="plane",
+    )
+    xy = np.asarray(res.grid.xy)
+    idx = np.asarray(res.grid.idx)
+    valid = np.asarray(res.grid.valid)
+    repo = {
+        (int(idx[i, 0]), int(idx[i, 1])): (float(xy[i, 0]), float(xy[i, 1]))
+        for i in range(len(valid))
+        if valid[i]
+    }
+    if js is None:
+        return repo, None
+    oracle = {
+        tuple(p["id"]): (p["x"], p["y"]) for p in json.loads(js)["points"]
+    }
+    return repo, oracle
+
+
+def test_plane_bookkeeping_matches_oracle():
+    """Plane-path bookkeeping vs the literal util_plane.py chain: degree-1
+    fits with the abnormal-column merge, (row, col) ids, no pruning.
+    Tolerance note: the repo's 3x3-tolerant float-centroid label lookup can
+    include one borderline member (near the saturation carve) that the
+    reference's exact integer lookup drops, perturbing one degree-1 poly by
+    well under a pixel -- id sets must still be EXACTLY equal."""
+    from cylinder_pose_estimation_tpu.config import PlaneDetectConfig
+
+    _, img = _plane_img()
+    cfg = PlaneDetectConfig(height=240, width=320, roi_threshold=30.0)
+    repo, oracle = _run_plane(img, cfg)
+    assert oracle is not None and len(repo) >= 50
+    assert set(repo) == set(oracle), (
+        sorted(set(repo) - set(oracle)),
+        sorted(set(oracle) - set(repo)),
+    )
+    diffs = sorted(
+        np.hypot(
+            repo[k][0] - oracle[k][0], repo[k][1] - oracle[k][1]
+        )
+        for k in repo
+    )
+    assert diffs[len(diffs) // 2] < 0.01
+    assert diffs[-1] < 1.0
+
+
+@pytest.mark.slow
+def test_plane_bookkeeping_oracle_with_fragmented_column():
+    """A damped band fragments one physical column: the reference's
+    abnormal-column MERGE (util_plane.py:449-557) and the repo's
+    _merge_short_column_leaders must make the same structural decision, or
+    ids diverge and this comparison fails."""
+    from cylinder_pose_estimation_tpu.config import PlaneDetectConfig
+
+    _, img = _plane_img(gap_col=2)
+    cfg = PlaneDetectConfig(height=240, width=320, roi_threshold=30.0)
+    repo, oracle = _run_plane(img, cfg)
+    assert oracle is not None and len(repo) >= 40
+    assert set(repo) == set(oracle), (
+        sorted(set(repo) - set(oracle)),
+        sorted(set(oracle) - set(repo)),
+    )
