@@ -260,3 +260,71 @@ def indep_scene(
         )
         imgs.append(np.asarray(img, np.float32))
     return scene, imgs[0], imgs[1]
+
+
+def indep_plane_scene(
+    stereo,
+    scene_seed: int = 0,
+    height: int = 480,
+    width: int = 640,
+    profile: str = "lorentz",
+    **render_kw,
+):
+    """Plane-mode independent-family scene: a tilted calibration plane with
+    the same second image-formation model (plane lines project straight, so
+    no column densification is needed).  Returns (scene, img1, img2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cylinder_pose_estimation_tpu.geometry import transforms
+    from cylinder_pose_estimation_tpu.utils.synthetic import plane_grid_points
+
+    rng = np.random.default_rng(scene_seed)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        n_rows, n_cols = 9, 9
+        scene = plane_grid_points(
+            stereo,
+            origin=(
+                float(rng.uniform(-20, 20)),
+                float(rng.uniform(-15, 15)),
+                float(rng.uniform(620, 760)),
+            ),
+            normal=(
+                float(rng.uniform(-0.1, 0.1)),
+                float(rng.uniform(-0.12, 0.0)),
+                -1.0,
+            ),
+            n_rows=n_rows,
+            n_cols=n_cols,
+            spacing=float(rng.uniform(16.0, 20.0)),
+            capacity=256,
+            seed=scene_seed,
+        )
+        n = n_rows * n_cols
+        pts3 = np.asarray(scene.pts3)[:n]
+        z1 = pts3[:, 2]
+        z2 = np.asarray(
+            transforms.transform_points(
+                jnp.asarray(stereo.t_c2_c1)[None], jnp.asarray(pts3)[None]
+            )[0]
+        )[:, 2]
+
+    imgs = []
+    for gp, z in ((scene.gp1, z1), (scene.gp2, z2)):
+        img = render_indep(
+            np.asarray(gp.xy),
+            z,
+            n_rows,
+            n_cols,
+            height,
+            width,
+            profile=profile,
+            col_stride=1,
+            center_flat=(n_rows // 2) * n_cols + n_cols // 2,
+            illum_phase=float(rng.uniform(0, 2 * np.pi)),
+            seed=scene_seed * 2 + 100 + len(imgs),
+            **render_kw,
+        )
+        imgs.append(np.asarray(img, np.float32))
+    return scene, imgs[0], imgs[1]

@@ -192,3 +192,49 @@ def test_indep_backend_agreement(stereo):
         assert ids(rx) == ids(rp)
     else:  # bridged frames may re-rank; both must still detect a grid
         assert len(ids(rx)) >= 30 and len(ids(rp)) >= 30
+
+
+# ---------------------------------------------------------------------------
+# plane mode on the independent family
+
+
+def _plane_cfg():
+    from cylinder_pose_estimation_tpu.config import PlaneDetectConfig
+
+    return PlaneDetectConfig(height=H, width=W, roi_threshold=30.0)
+
+
+@pytest.mark.parametrize("seed,profile", [(0, "lorentz"), (1, "flattop")])
+def test_plane_indep_scene_detects(stereo, seed, profile):
+    """Calibration-plane detection on the independent formation model: the
+    full 9x9 grid recovered with sub-px mean error, fences on the healthy
+    side (plane lines are straight, so the family's perspective thinning
+    and illumination are the binding stressors here)."""
+    from cylinder_pose_estimation_tpu.models.detector import detect_grid
+
+    scene, i1, _ = sf2.indep_plane_scene(stereo, scene_seed=seed, profile=profile)
+    res = jax.jit(lambda im: detect_grid(im, _plane_cfg()))(jnp.asarray(i1))
+    assert bool(np.asarray(res.ok)) and bool(np.asarray(res.stable))
+    idx = np.asarray(res.grid.idx)
+    xy = np.asarray(res.grid.xy)
+    valid = np.asarray(res.grid.valid)
+    det_pts = {
+        (int(idx[i, 0]), int(idx[i, 1])): xy[i]
+        for i in range(len(valid))
+        if valid[i]
+    }
+    gxy = np.asarray(scene.gp1.xy)
+    gidx = np.asarray(scene.gp1.idx)
+    gval = np.asarray(scene.gp1.valid)
+    gt = {
+        (int(gidx[i, 0]), int(gidx[i, 1])): gxy[i]
+        for i in range(len(gval))
+        if gval[i]
+    }
+    errs = [
+        float(np.hypot(*(p - gt[k]))) for k, p in det_pts.items() if k in gt
+    ]
+    matched = [e for e in errs if e < 2.5]
+    assert len(det_pts) >= 75
+    assert len(matched) >= 75
+    assert np.mean(matched) < 0.8
