@@ -8,6 +8,9 @@ survives (ref anchors cited per test).
 
 import dataclasses
 
+import pytest
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -741,3 +744,51 @@ def test_bridged_components_diagnostic():
         gapped = detect_grid(jnp.asarray(img1), cfg)
         assert int(clean.bridged_components) == 0, int(clean.bridged_components)
         assert int(gapped.bridged_components) > 0, int(gapped.bridged_components)
+
+
+@pytest.mark.slow
+def test_cross_view_prune_mismatch_is_health_fenced():
+    """KNOWN REFERENCE FRAGILITY, pinned as a fenced degraded mode: the
+    reference's last-col prune picks the max-min-Y column (r5 oracle-exact,
+    detector stage 6d), and on near-symmetric tilted scenes the two stereo
+    views can drop DIFFERENT physical columns.  Index correspondence then
+    pairs physically different columns, the patch-consensus gate rejects
+    them, the ungated exact-index fallback produces large reprojection
+    errors (the reference would feed exactly this garbage into
+    fitCylinderWPts3sAngs, ref utils/chooseIdx.m:101-104 + :82-94) -- and
+    pipeline.frame_health must mask those frames out of registration.
+
+    Scenario: test_parallel's kinematic miniature frames, where frames 5-6
+    exhibit the divergence (L keeps 7 columns, R keeps 5 on frame 5)."""
+    import test_parallel as tp
+    from cylinder_pose_estimation_tpu.config import (
+        FitConfig,
+        RegistrationConfig,
+    )
+    from cylinder_pose_estimation_tpu.models.pipeline import (
+        estimate_poses_batch,
+        frame_health,
+    )
+
+    stereo = tp.default_stereo(cx=tp.W / 2.0, cy=tp.H / 2.0, baseline=30.0)
+    i1, i2 = tp._frames(stereo, 8)
+    cfg = CylinderDetectConfig(
+        height=tp.H, width=tp.W, cc_iters=8, min_ok_points=5
+    )
+    batch = jax.jit(
+        lambda a, b: estimate_poses_batch(
+            a, b, stereo, cfg, FitConfig(cyl_radius=55.0, lm_iters=40)
+        )
+    )(i1, i2)
+    rcfg = RegistrationConfig(cyl_radius=55.0, min_frame_points=5)
+    health = np.asarray(frame_health(batch, rcfg))
+    rep = np.asarray(batch.fit.mean_reproj_error)
+
+    # the poisoned frames exist in this scenario (if detection ever becomes
+    # cross-view consistent here, this test should be RETIRED, not patched)
+    poisoned = rep > rcfg.max_frame_reproj_px
+    assert poisoned.any(), "scenario no longer reproduces the mismatch"
+    # and the fence catches every one of them
+    assert not (poisoned & health).any(), (rep, health)
+    # healthy frames stay healthy (the fence is not trigger-happy)
+    assert (health & ~poisoned).sum() >= 5
