@@ -325,6 +325,16 @@ def main(argv=None) -> None:
     e.set_defaults(fn=cmd_experiment)
 
     args = p.parse_args(argv)
+    # Persist compiled executables across CLI invocations: the chunked
+    # detect program takes minutes to compile cold (especially on a CPU
+    # host), and every repeat run with the same image shape is then instant.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/cylpose_jax"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args.fn(args)
 
 
