@@ -331,3 +331,37 @@ def test_plane_bookkeeping_oracle_with_fragmented_column():
         sorted(set(repo) - set(oracle)),
         sorted(set(oracle) - set(repo)),
     )
+
+
+@pytest.mark.slow
+def test_bookkeeping_oracle_randomized_sweep(scenes):
+    """Randomized scene family vs the literal bookkeeping chain: rotated /
+    rescaled grids with dropout damage (the same tame-regime generator as
+    the backend-agreement sweep).  Every scene where the detector reports a
+    usable grid must match the oracle id-for-id; positions to 0.05 px."""
+    from cylinder_pose_estimation_tpu.utils.synthetic import render_grid_image
+
+    checked = 0
+    for seed in range(8):
+        rng = np.random.default_rng(2000 + seed)
+        tilt = rng.uniform(-8, 8)
+        n = int(rng.integers(7, 10))
+        spacing = min(rng.uniform(28, 42), (H / 2.0 - 60) / ((n - 1) / 2.0 * 1.2))
+        t = np.radians(tilt)
+        r = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+        ij = np.mgrid[0:n, 0:n].astype(np.float64) - (n - 1) / 2.0
+        local = np.stack([ij[1], ij[0]], axis=-1).reshape(-1, 2) * spacing
+        xy = local @ r.T + np.array([W / 2.0, H / 2.0])
+        img = np.asarray(
+            render_grid_image(
+                jnp.asarray(xy, jnp.float32), jnp.ones(n * n, bool), n, n, H, W
+            ),
+            np.float32,
+        )
+        img = np.clip(img + rng.normal(0, 2.0, (H, W)), 0, 255)
+        repo, center, oracle, ocenter = _run_repo_and_oracle(img, _cfg())
+        if len(repo) < 12 or oracle is None:
+            continue
+        _assert_match(repo, center, oracle, ocenter)
+        checked += 1
+    assert checked >= 5, checked
