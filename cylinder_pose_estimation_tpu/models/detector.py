@@ -295,15 +295,13 @@ def _stats_images(
     # pass (rounding there measured large enough to swap near-tied argmax
     # candidates vs the cumsum box-filter fallback).
     if getattr(cfg, "bright_at_points", False):
-        # The brightness statistics are only ever READ at a few hundred
-        # integer points (joint centroids for the center seed, rounded
-        # intersections for the grid origin).  conv_at_points evaluates the
-        # same exact-mode separable correlations AT those points -- one
-        # (P, H) x (H, W) HIGHEST matmul each instead of two full-image
-        # exact matmuls PLUS a TPU dynamic gather (the gathers alone were
+        # The center-seed brightness is only ever READ at a few hundred
+        # integer points (joint centroids): conv_at_points evaluates the
+        # same exact-mode separable correlation AT those points -- one
+        # (P, H) x (H, W) HIGHEST matmul instead of two full-image exact
+        # matmuls PLUS a TPU dynamic gather (the gathers alone were
         # ~0.03 ms/view, hidden from earlier stage probes by xy-only DCE).
         bright_center = None
-        bright_index = None
     else:
         pc = 2 * cfg.center_patch_half + 1
         bt = mxc.box_taps(pc)
@@ -313,15 +311,19 @@ def _stats_images(
         )
         bright_center = bc / float(pc * pc)
 
-        pi = 2 * cfg.patch_half_min + 1
-        ct = mxc.compose_taps(
-            mxc.gauss_taps_cv(cfg.index_blur_ksize), mxc.box_taps(pi)
-        )
-        bi = mxc.conv_y(
-            mxc.conv_x(gray, mxc.x_mat(ct, w, exact=True), exact=True),
-            mxc.y_mat(ct, h, exact=True), exact=True,
-        )
-        bright_index = bi / float(pi * pi)
+    # Grid-origin brightness (stage 6g) needs the Gaussian(index_blur_ksize)
+    # image in FULL: the reference's patch size is adaptive in the traced
+    # saturation radius (ref :1377-1379), so the old composed static
+    # blur+box taps cannot express it -- 6g takes rectangle means of this
+    # blurred image with traced bounds (mxu_conv.range_mean_at_points).
+    # bf16 operands here: all values stay <= 255 (one ~0.4% rounding, on
+    # par with the reference's own uint8 GaussianBlur quantization of
+    # +-0.5 gray); the rectangle SUMS that consume this image accumulate
+    # in f32 via the HIGHEST band dot.
+    gk_i = mxc.gauss_taps_cv(cfg.index_blur_ksize)
+    bright_blur = mxc.conv_y(
+        mxc.conv_x(gray, mxc.x_mat(gk_i, w)), mxc.y_mat(gk_i, h)
+    )
 
     jb = mxc.box_taps(joint_window)
     jr = mxc.ramp_taps(joint_window)
@@ -332,7 +334,7 @@ def _stats_images(
     c = jnp.maximum(cnt, 1.0)
     cx = jnp.floor(sx / c)
     cy = jnp.floor(sy / c)
-    return sat_mask, bright_center, bright_index, cx, cy
+    return sat_mask, bright_center, bright_blur, cx, cy
 
 
 # Lowres canvas shift: pooled content sits at [_SHIFT4:, _SHIFT4:] inside the
@@ -1321,7 +1323,7 @@ def detect_grid(
         h_mask = h_f > 0.5
         v_mask = v_f > 0.5
         joints = j_f > 0.5
-        sat_mask, bright_center, bright_index, joint_cx, joint_cy = (
+        sat_mask, bright_center, bright_blur, joint_cx, joint_cy = (
             _stats_images(gray, j_f, joint_cnt, cfg)
         )
         joint_pre = (joint_peak, joint_cx, joint_cy)
@@ -1358,7 +1360,7 @@ def detect_grid(
         jf = joints.astype(jnp.float32)
         joint_cnt = box_filter(jf, 11, mode="constant", normalize=False)
         joint_peak = _joint_peaks(joints, joint_cnt, cfg.joint_peak_iters)
-        sat_mask, bright_center, bright_index, joint_cx, joint_cy = (
+        sat_mask, bright_center, bright_blur, joint_cx, joint_cy = (
             _stats_images(gray, jf, joint_cnt, cfg)
         )
         joint_pre = (joint_peak.astype(jnp.float32), joint_cx, joint_cy)
@@ -1721,21 +1723,46 @@ def detect_grid(
     row_rank = _rank_by(mean_y, any_row)
     col_rank = _rank_by(mean_x, any_col)
 
-    # 6g. center indexing (ref indexing_data :1350-1571)
-    xg = jnp.clip(jnp.round(xi).astype(jnp.int32), 0, gray.shape[1] - 1)
-    yg = jnp.clip(jnp.round(yi).astype(jnp.int32), 0, gray.shape[0] - 1)
-    if bright_index is None:
-        from cylinder_pose_estimation_tpu.ops import mxu_conv as mxc
+    # 6g. center indexing (ref indexing_data :1350-1571).  The brightness
+    # patch is IMAGE-ADAPTIVE in the reference -- half-size scales with the
+    # saturation-circle radius so the patch mean averages over a region
+    # larger than a saturated center blob (the tie-breaker when several
+    # extrapolated intersections inside the blob all read 255):
+    #   cylinder: max(patch_half_min, floor(cr0/5)), +5 above 10 (ref
+    #   utils/util_cylinder.py:1377-1379); plane: floor(cr/4.5) (ref
+    #   utils/util_plane.py:1280; floored at 1 here -- below cr=4.5 the
+    #   reference's empty patch yields NaN means and a first-point center,
+    #   a degenerate regime not worth reproducing).
+    # The bounds follow the reference's slice [int(x-h), int(x+h)) --
+    # truncation, EXCLUSIVE upper, clipped area in the divisor -- via a
+    # traced-range band-matmul rectangle mean (no static tap size can
+    # express a traced half; no TPU gather either).  r5 change: the old
+    # static composed-taps patch deviated on large-blob scenes (documented
+    # deviation now closed; pinned by the bookkeeping oracle's literal rule).
+    from cylinder_pose_estimation_tpu.ops import mxu_conv as mxc
 
-        pi_ = 2 * cfg.patch_half_min + 1
-        ct_ = mxc.compose_taps(
-            mxc.gauss_taps_cv(cfg.index_blur_ksize), mxc.box_taps(pi_)
-        )
-        bvals = mxc.conv_at_points(
-            gray, yg.reshape(-1), xg.reshape(-1), ct_
-        ).reshape(yg.shape) / float(pi_ * pi_)
+    if cfg.mode == "plane":
+        half_b = jnp.maximum(jnp.floor(circle_radius0 / 4.5), 1.0)
     else:
-        bvals = bright_index[yg, xg]
+        half_b = jnp.maximum(
+            jnp.floor(circle_radius0 / 5.0), float(cfg.patch_half_min)
+        )
+        half_b = jnp.where(half_b > 10.0, half_b + 5.0, half_b)
+    if bright_blur is None:
+        gk = mxc.gauss_taps_cv(cfg.index_blur_ksize)
+        bright_blur = mxc.conv_y(
+            mxc.conv_x(gray, mxc.x_mat(gk, gray.shape[1])),
+            mxc.y_mat(gk, gray.shape[0]),
+        )
+    xf = xi.reshape(-1)
+    yf = yi.reshape(-1)
+    x0b = jnp.clip(jnp.floor(xf - half_b), 0, gray.shape[1]).astype(jnp.int32)
+    x1b = jnp.clip(jnp.floor(xf + half_b), 0, gray.shape[1]).astype(jnp.int32)
+    y0b = jnp.clip(jnp.floor(yf - half_b), 0, gray.shape[0]).astype(jnp.int32)
+    y1b = jnp.clip(jnp.floor(yf + half_b), 0, gray.shape[0]).astype(jnp.int32)
+    bvals = mxc.range_mean_at_points(bright_blur, y0b, y1b, x0b, x1b).reshape(
+        xi.shape
+    )
     bright = jnp.where(accept, bvals, -jnp.inf)
     flat_ci = jnp.argmax(bright.reshape(-1))
     c_r = flat_ci // cfg.max_cols

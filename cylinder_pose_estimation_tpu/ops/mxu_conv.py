@@ -240,3 +240,42 @@ def conv_at_points(
     )                                               # (P, W)
     v = _taps_rows(xs, taps, w)                     # (P, W)
     return jnp.sum(m * v, axis=-1)
+
+
+def range_mean_at_points(
+    img: jnp.ndarray,
+    y0: jnp.ndarray,
+    y1: jnp.ndarray,
+    x0: jnp.ndarray,
+    x1: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mean of ``img[y0:y1, x0:x1)`` per point, with TRACED integer bounds.
+
+    The adaptive-patch companion of conv_at_points: rectangle sums as one
+    (P, H) x (H, W) HIGHEST band-indicator matmul + an elementwise row dot
+    -- no dynamic gather, and the patch size may depend on traced values
+    (the reference's brightness patch scales with the saturation-circle
+    radius, ref utils/util_cylinder.py:1377-1379 / utils/util_plane.py:1280,
+    which a static-taps formulation cannot express).  Empty or fully
+    clipped rectangles return -inf (they never win the argmax these means
+    feed; the reference's np.mean of an empty slice is NaN, which loses
+    max() comparisons the same way)."""
+    h, w = img.shape
+
+    def rows(lo, hi, n):
+        jj = jnp.arange(n, dtype=jnp.int32)[None, :]
+        return (
+            (jj >= lo[:, None]) & (jj < hi[:, None])
+        ).astype(jnp.float32)
+
+    u = rows(y0, y1, h)                              # (P, H)
+    m = jax.lax.dot_general(
+        u, img.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                # (P, W)
+    v = rows(x0, x1, w)                              # (P, W)
+    sums = jnp.sum(m * v, axis=-1)
+    area = ((y1 - y0) * (x1 - x0)).astype(jnp.float32)
+    return jnp.where(area > 0, sums / jnp.maximum(area, 1.0), -jnp.inf)

@@ -365,3 +365,60 @@ def test_bookkeeping_oracle_randomized_sweep(scenes):
         _assert_match(repo, center, oracle, ocenter)
         checked += 1
     assert checked >= 5, checked
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rad", [30.0, 45.0])
+def test_adaptive_brightness_patch_big_blob(scenes, rad):
+    """Large saturated center blob: the brightness patch half-size scales
+    with the saturation radius (ref :1377-1379; r5 closed this deviation --
+    the old STATIC patch read 255 at every extrapolated intersection inside
+    the blob and tie-broke arbitrarily).  At cr0 ~ 29 (half 5) the adaptive
+    mean still singles out the true center; at cr0 ~ 44 even the
+    reference's rule re-centers one column over -- either way the repo must
+    match the literal chain id-for-id, center included."""
+    from cylinder_pose_estimation_tpu.utils.synthetic import (
+        cylinder_grid_points,
+        default_stereo,
+        render_grid_image,
+    )
+
+    stereo = default_stereo(cx=W / 2.0, cy=H / 2.0)
+    scene = cylinder_grid_points(
+        stereo, origin=(0.0, -40.0, 560.0), radius=70.0, row_spacing=18.0,
+        theta_span=2.0, capacity=128, seed=0,
+    )
+    img = np.asarray(
+        render_grid_image(scene.gp1.xy, scene.gp1.valid, 9, 9, H, W),
+        np.float32,
+    )
+    cx_, cy_ = np.asarray(scene.gp1.xy)[4 * 9 + 4]
+    yy, xx = np.mgrid[0:H, 0:W]
+    img[(yy - cy_) ** 2 + (xx - cx_) ** 2 < rad * rad] = 255.0
+    rng = np.random.default_rng(1)
+    img = np.clip(img + rng.normal(0, 2.0, (H, W)), 0, 255)
+
+    repo, center, oracle, ocenter = _run_repo_and_oracle(img, _cfg())
+    assert len(repo) >= 30
+    assert set(repo) == set(oracle), (
+        sorted(set(repo) - set(oracle)), sorted(set(oracle) - set(repo))
+    )
+    # Positions: compared only for rows/cols whose curves do NOT cross the
+    # carve boundary.  A centroid on the carve edge can pass the repo's
+    # 3x3-tolerant float-centroid label lookup while the reference's exact
+    # integer lookup drops it (documented design difference,
+    # tests/_oracle_detect.py header); that one member perturbs its WHOLE
+    # degree-2 curve, so every intersection on the affected row/col shifts
+    # a little (up to ~4 px inside the blob).  Ids and the center choice
+    # must still agree everywhere.
+    k_excl = int(np.ceil((rad + 20.0) / 30.0))  # ~30 px grid pitch
+    for k in repo:
+        if abs(k[0]) <= k_excl or abs(k[1]) <= k_excl:
+            continue
+        dx = abs(repo[k][0] - oracle[k][0])
+        dy = abs(repo[k][1] - oracle[k][1])
+        assert dx < 0.05 and dy < 0.05, (k, repo[k], oracle[k])
+    assert np.all(np.abs(center - ocenter) < 0.05), (center, ocenter)
+    if rad <= 30.0:
+        # the clear-win regime: the adaptive mean singles out the true center
+        assert np.hypot(*(center - np.array([cx_, cy_]))) < 2.0
